@@ -1,0 +1,212 @@
+"""Host-side input pipeline producing fixed-shape padded device batches.
+
+The reference feeds training through torch DataLoader workers that decode,
+jitter, warp and rasterize per instance on the host
+(/root/reference/libs/common/img_proc.py:251-345).  Here the host only
+decodes PNGs and computes 2x3 crop matrices; warping and Gaussian-target
+rendering happen on device inside the jitted train step.  Every batch has
+the same shapes (images padded to a canvas, instances padded to a static
+bucket) so the step compiles once.
+
+Box jitter augmentation reproduces jitter_bbox_with_kpts_no_occlu
+(img_proc.py:174-191): scale ~ U[1, 1+s], shift ~ 0.5*(scale-1)*dim*U[-1,1].
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+
+import numpy as np
+
+from egonet_tpu.constants import MAX_INS_CNT
+from egonet_tpu.ops import affine
+
+
+def jitter_bbox(bbox, scaling_params, rng: np.random.RandomState):
+    """Randomly rescale/shift a box without occluding keypoints."""
+    w = bbox[2] - bbox[0]
+    h = bbox[3] - bbox[1]
+    cx = 0.5 * (bbox[0] + bbox[2])
+    cy = 0.5 * (bbox[1] + bbox[3])
+    sx = scaling_params[0] * rng.rand() + 1
+    sy = scaling_params[1] * rng.rand() + 1
+    dx = 0.5 * (sx - 1) * w * (rng.rand() * 2 - 1)
+    dy = 0.5 * (sy - 1) * h * (rng.rand() * 2 - 1)
+    nw, nh = w * sx, h * sy
+    return [cx + dx - 0.5 * nw, cy + dy - 0.5 * nh,
+            cx + dx + 0.5 * nw, cy + dy + 0.5 * nh]
+
+
+class IGRBatchLoader:
+    """Batches for stage-2 (IGR / keypoint) training.
+
+    Yields dicts of fixed-shape numpy arrays:
+      images   [B, Hc, Wc, 3] uint8
+      inv_mats [M, 2, 3] float32   patch -> source affines
+      img_idx  [M] int32
+      joints   [M, K, 3] float32   local (crop-frame) keypoints + visibility
+      mask     [M] float32         1 for real instances
+    """
+
+    def __init__(self, records, cfgs: dict, train: bool,
+                 canvas_hw=(384, 1280), max_instances: int = MAX_INS_CNT,
+                 seed: int = 0):
+        self.records = records
+        self.cfgs = cfgs
+        self.train = train
+        self.canvas_hw = canvas_hw
+        self.max_instances = int(max_instances)
+        hm = cfgs["heatmapModel"]
+        self.input_size = tuple(hm["input_size"])           # (w, h)
+        self.target_ar = self.input_size[1] / self.input_size[0]
+        self.jitter = bool(hm.get("jitter_bbox", False)) and train
+        self.jitter_params = hm.get("jitter_params",
+                                    {"scaling": [0.4, 0.4],
+                                     "shift": [0.1, 0.1]})
+        settings = cfgs["training_settings" if train else "testing_settings"]
+        self.batch_images = int(settings.get("batch_size", 4))
+        self.rng = np.random.RandomState(seed)
+        self._image_cache = {}
+        self.cache_images = bool(cfgs.get("cache_images", True))
+
+    def __len__(self):
+        return (len(self.records) + self.batch_images - 1) \
+            // self.batch_images
+
+    def steps_per_epoch(self):
+        return len(self)
+
+    def _load(self, path):
+        if self.cache_images and path in self._image_cache:
+            return self._image_cache[path]
+        import cv2
+        img = cv2.imread(path, 1 | 128)
+        if img is None:
+            raise ValueError(f"Fail to read {path}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.cache_images:
+            self._image_cache[path] = img
+        return img
+
+    def _assemble(self, chunk):
+        width, height = self.input_size
+        hc, wc = self.canvas_hw
+        b = len(chunk)
+        images = np.zeros((b, hc, wc, 3), np.uint8)
+        inv_mats, img_idx, joints_local = [], [], []
+        for i, rec in enumerate(chunk):
+            img = self._load(rec["path"])
+            h, w = img.shape[:2]
+            images[i, :min(h, hc), :min(w, wc)] = img[:hc, :wc]
+            for j in range(len(rec["boxes"])):
+                bbox = rec["boxes"][j].astype(np.float64)
+                kpts = rec["kpts"][j]                       # [K, 2]
+                if self.jitter:
+                    bbox = jitter_bbox(bbox, self.jitter_params["scaling"],
+                                       self.rng)
+                ret = affine.resize_bbox(bbox[0], bbox[1], bbox[2], bbox[3],
+                                         target_ar=self.target_ar)
+                c, s = ret["c"], ret["s"]
+                fwd = affine.get_affine_transform(c, s, 0.0, (height, width))
+                inv = affine.get_affine_transform(c, s, 0.0, (height, width),
+                                                  inv=True)
+                local = affine.affine_transform_pts(kpts[:, :2], fwd)
+                vis = np.ones((len(local), 1))
+                joints_local.append(np.hstack([local, vis])[None])
+                inv_mats.append(inv[None])
+                img_idx.append(i)
+
+        m = len(img_idx)
+        cap = self.max_instances
+        if m > cap:
+            chosen = self.rng.choice(m, cap, replace=False)
+            inv_mats = [inv_mats[c] for c in chosen]
+            joints_local = [joints_local[c] for c in chosen]
+            img_idx = [img_idx[c] for c in chosen]
+            m = cap
+        pad = cap - m
+        k = joints_local[0].shape[1] if joints_local else 33
+        batch = {
+            "images": images,
+            "inv_mats": np.concatenate(
+                inv_mats + [np.tile(np.eye(2, 3)[None], (pad, 1, 1))]
+            ).astype(np.float32) if m else
+            np.tile(np.eye(2, 3, dtype=np.float32)[None], (cap, 1, 1)),
+            "img_idx": np.asarray(
+                img_idx + [0] * pad, np.int32),
+            "joints": np.concatenate(
+                joints_local + [np.zeros((pad, k, 3))]
+            ).astype(np.float32) if m else np.zeros((cap, k, 3), np.float32),
+            "mask": np.concatenate(
+                [np.ones(m, np.float32), np.zeros(pad, np.float32)]),
+        }
+        return batch
+
+    def epoch(self, shuffle: bool | None = None):
+        order = np.arange(len(self.records))
+        if shuffle if shuffle is not None else self.train:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_images):
+            chunk = [self.records[i]
+                     for i in order[start:start + self.batch_images]]
+            yield self._assemble(chunk)
+
+    def prefetched_epoch(self, depth: int = 2, **kwargs):
+        """Generator with a background producer thread."""
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        sentinel = object()
+
+        def produce():
+            try:
+                for batch in self.epoch(**kwargs):
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class ArrayBatchLoader:
+    """Simple shuffling batcher over in-RAM arrays (lifter training)."""
+
+    def __init__(self, inputs, outputs, batch_size: int, seed: int = 0,
+                 drop_remainder: bool = False):
+        self.inputs = np.asarray(inputs)
+        self.outputs = np.asarray(outputs)
+        self.batch_size = int(batch_size)
+        self.rng = np.random.RandomState(seed)
+        self.drop_remainder = drop_remainder
+
+    def steps_per_epoch(self):
+        n = len(self.inputs)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, shuffle: bool = True):
+        n = len(self.inputs)
+        order = np.arange(n)
+        if shuffle:
+            self.rng.shuffle(order)
+        stop = (n // self.batch_size * self.batch_size
+                if self.drop_remainder else n)
+        for start in range(0, stop, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            x = self.inputs[idx]
+            y = self.outputs[idx]
+            mask = np.ones(len(idx), np.float32)
+            if len(idx) < self.batch_size:      # pad to static shape
+                pad = self.batch_size - len(idx)
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                                x.dtype)])
+                y = np.concatenate([y, np.zeros((pad,) + y.shape[1:],
+                                                y.dtype)])
+                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+            yield {"input": x, "output": y, "mask": mask}

@@ -1,0 +1,319 @@
+"""EgoNet end-to-end pipeline: crop -> keypoints -> lift -> 6DoF -> alpha.
+
+This is the TPU-native re-design of the reference orchestrator
+(/root/reference/libs/model/egonet.py:28-507).  The reference interleaves
+Python loops, cv2 calls and four host<->device transfers per batch; here the
+entire per-batch computation is ONE jitted XLA program over fixed-shape
+padded instance buckets:
+
+    images   [B, Hc, Wc, 3]  uint8, padded to a canonical resolution
+    inv_mats [N, 2, 3]       patch->source affines (host-computed, tiny)
+    img_idx  [N]             which image each instance crops from
+    valid    [N]             padding mask
+      |> device-side bilinear warp + ImageNet normalize      (ops/affine.py)
+      |> HRNet 'coordinates' head -> local coords [N, 33, 2] (models/hrnet.py)
+      |> inverse-affine to screen coords                     (batched matmul)
+      |> normalize -> FC lifter -> un-normalize -> cuboids   (models/fc_lifter)
+      |> template fit + batched Kabsch SVD + euler + alpha   (geometry/rigid)
+
+Host code only decodes PNGs, computes the 2x3 crop matrices and formats the
+KITTI txt lines.  Instance counts are padded to power-of-two buckets so the
+program compiles a handful of times, then runs for every batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from os.path import join as pjoin
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from egonet_tpu.geometry import rigid
+from egonet_tpu.models.fc_lifter import build_fc_model
+from egonet_tpu.models.hrnet import build_hrnet
+from egonet_tpu.ops import affine
+from egonet_tpu.io import torch_convert
+
+
+def _round_up_bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class EgoNet:
+    """End-to-end monocular pose estimator (inference-oriented facade)."""
+
+    def __init__(self, cfgs: dict, pre_trained: bool = False,
+                 dtype=jnp.float32, rng_seed: int = 0):
+        self.cfgs = cfgs
+        self.dtype = dtype
+        hm = cfgs["heatmapModel"]
+        self.resolution = tuple(hm["input_size"])           # (width, height)
+        self.add_xy = bool(hm.get("add_xy", False))
+        self.hrnet = build_hrnet(cfgs, dtype=dtype)
+        self.lifter = build_fc_model(cfgs, dtype=dtype)
+
+        width, height = self.resolution
+        key = jax.random.PRNGKey(rng_seed)
+        k1, k2 = jax.random.split(key)
+        in_ch = 5 if self.add_xy else 3
+        # shape-traced NumPy initialization: instant, no XLA compile
+        from egonet_tpu.models.initialization import numpy_init
+        self.hrnet_vars = numpy_init(
+            self.hrnet, rng_seed, jnp.zeros((1, height, width, in_ch)))
+        self.lifter_vars = numpy_init(
+            self.lifter, rng_seed + 1,
+            jnp.zeros((1, int(cfgs["FCModel"]["input_size"]))))
+        del k1, k2
+        self.ls_stats = {
+            "mean_in": np.zeros((1, cfgs["FCModel"]["input_size"]),
+                                np.float32),
+            "std_in": np.ones((1, cfgs["FCModel"]["input_size"]), np.float32),
+            "mean_out": np.zeros((1, cfgs["FCModel"]["output_size"]),
+                                 np.float32),
+            "std_out": np.ones((1, cfgs["FCModel"]["output_size"]),
+                               np.float32),
+        }
+        if pre_trained:
+            self.load_checkpoints(cfgs["dirs"]["ckpt"])
+        self.to_device()
+        self._jitted = {}
+
+    def to_device(self, device=None):
+        """Commit parameters + stats to the accelerator ONCE.  Without this
+        the weights stay host-resident and every jitted call re-transfers
+        ~256MB through the TPU tunnel."""
+        device = device or jax.devices()[0]
+        self.hrnet_vars = jax.device_put(self.hrnet_vars, device)
+        self.lifter_vars = jax.device_put(self.lifter_vars, device)
+        self.ls_stats = jax.device_put(
+            {k: jnp.asarray(np.asarray(v, np.float32))
+             for k, v in self.ls_stats.items()}, device)
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+
+    def load_checkpoints(self, ckpt_dir: str):
+        """Load HC.pth / L.pth / LS.npy (torch) or their orbax equivalents."""
+        import os
+        hc_pth = pjoin(ckpt_dir, "HC.pth")
+        l_pth = pjoin(ckpt_dir, "L.pth")
+        ls_npy = pjoin(ckpt_dir, "LS.npy")
+        if os.path.exists(hc_pth):
+            sd = torch_convert.load_torch_state_dict(hc_pth)
+            converted = torch_convert.torch_to_flax(sd)
+            problems = torch_convert.check_conversion(
+                jax.tree_util.tree_map(np.asarray, dict(self.hrnet_vars)),
+                converted)
+            if problems:
+                raise ValueError("HC.pth conversion mismatch: "
+                                 + "; ".join(problems[:10]))
+            self.hrnet_vars = converted
+        if os.path.exists(l_pth):
+            sd = torch_convert.load_torch_state_dict(l_pth)
+            converted = torch_convert.torch_to_flax(sd)
+            problems = torch_convert.check_conversion(
+                jax.tree_util.tree_map(np.asarray, dict(self.lifter_vars)),
+                converted)
+            if problems:
+                raise ValueError("L.pth conversion mismatch: "
+                                 + "; ".join(problems[:10]))
+            self.lifter_vars = converted
+        if os.path.exists(ls_npy):
+            self.ls_stats = torch_convert.load_lifter_stats(ls_npy)
+
+    # ------------------------------------------------------------------
+    # the jitted core
+    # ------------------------------------------------------------------
+
+    def _core(self, hrnet_vars, lifter_vars, ls, images, inv_mats, img_idx,
+              valid, K_f, K_cx, alpha_mode: str):
+        """One fused program: crops -> screen kpts -> cuboids -> angles.
+
+        images: [B, Hc, Wc, 3] uint8;  inv_mats: [N, 2, 3] float32;
+        img_idx: [N] int32; valid: [N] float32; K_f/K_cx: [N] per-instance
+        focal length and principal point x.
+        """
+        width, height = self.resolution
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        # crops are rotation-free -> separable warp runs on the MXU
+        patches = affine.warp_affine_separable(images, inv_mats, img_idx,
+                                               (height, width))
+        # match the reference's uint8 warp output before ToTensor()
+        crops = (jnp.round(patches) / 255.0 - mean) / std   # [N, H, W, 3]
+
+        _maps, coords = self.hrnet.apply(hrnet_vars, crops, train=False)
+        local = coords * jnp.asarray([width, height], jnp.float32)
+        screen = affine.batched_affine_transform(local, inv_mats)  # [N,33,2]
+
+        n = screen.shape[0]
+        flat = screen.reshape(n, -1).astype(jnp.float32)
+        norm_in = (flat - ls["mean_in"]) / ls["std_in"]
+        pred = self.lifter.apply(lifter_vars, norm_in, train=False)
+        pred = pred * ls["std_out"] + ls["mean_out"]
+        kpts_3d = pred.reshape(n, -1, 3)                    # [N, 32, 3]
+
+        angles, translations = rigid.six_dof_from_cuboids(kpts_3d)
+        ry = angles[:, 1]
+        if alpha_mode == "trans":
+            alphas = rigid.observation_angle_trans(ry, translations)
+        else:
+            alphas = rigid.observation_angle_proj(
+                ry, screen[:, 0, 0], K_f, K_cx)
+        return {
+            "kpts_2d": screen,
+            "kpts_3d": kpts_3d,
+            "euler_angles": angles,
+            "translation": translations,
+            "alphas": alphas,
+            "valid": valid,
+        }
+
+    def _get_jitted(self, alpha_mode: str):
+        if alpha_mode not in self._jitted:
+            fn = functools.partial(self._core, alpha_mode=alpha_mode)
+            self._jitted[alpha_mode] = jax.jit(fn)
+        return self._jitted[alpha_mode]
+
+    # ------------------------------------------------------------------
+    # host-side batch assembly
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def load_image(path: str) -> np.ndarray:
+        import cv2
+        img = cv2.imread(path, 1 | 128)
+        if img is None:
+            raise ValueError(f"Fail to read {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def forward_annot_dict(self, annot_dict: dict, enlarge: float = 1.1,
+                           alpha_mode: str = "proj",
+                           canvas_hw=(384, 1280)) -> dict:
+        """Process a batch of images given an annotation dictionary with keys
+        'path' (list of image paths) and 'boxes' (per-image [Ni, 4] arrays).
+        Returns per-image record dicts keyed by path (reference forward
+        contract, egonet.py:488-507).
+        """
+        width, height = self.resolution
+        target_ar = height / width
+        paths = annot_dict["path"]
+        n_img = len(paths)
+
+        images = np.zeros((n_img, canvas_hw[0], canvas_hw[1], 3), np.uint8)
+        inv_mats, img_idx, centers, scales, rbs = [], [], [], [], []
+        per_image_counts = []
+        for i, path in enumerate(paths):
+            img = (annot_dict["images"][i] if "images" in annot_dict
+                   else self.load_image(path))
+            h, w = img.shape[:2]
+            if h > canvas_hw[0] or w > canvas_hw[1]:
+                raise ValueError(
+                    f"image {path} ({h}x{w}) exceeds canvas {canvas_hw}")
+            images[i, :h, :w] = img
+            boxes = np.asarray(annot_dict["boxes"][i], dtype=np.float64)
+            per_image_counts.append(len(boxes))
+            if len(boxes) == 0:
+                continue
+            mats = affine.crop_matrices_for_boxes(
+                boxes, (height, width), target_ar, enlarge)
+            inv_mats.append(mats["inv"])
+            centers.append(mats["center"])
+            scales.append(mats["scale"])
+            rbs.append(mats["bbox_resize"])
+            img_idx.extend([i] * len(boxes))
+
+        n_total = int(sum(per_image_counts))
+        if n_total == 0:
+            return {}
+        inv_mats = np.concatenate(inv_mats).astype(np.float32)
+        centers = np.concatenate(centers)
+        scales = np.concatenate(scales)
+        rbs = np.concatenate(rbs)
+        img_idx = np.asarray(img_idx, dtype=np.int32)
+
+        Ks = [np.asarray(annot_dict["K"][i]) if "K" in annot_dict
+              else np.eye(3) for i in range(n_img)]
+        K_f = np.array([Ks[j][0, 0] for j in img_idx], np.float32)
+        K_cx = np.array([Ks[j][0, 2] for j in img_idx], np.float32)
+
+        # pad instances to a power-of-two bucket for stable compilation
+        bucket = _round_up_bucket(n_total)
+        pad = bucket - n_total
+        valid = np.concatenate([np.ones(n_total, np.float32),
+                                np.zeros(pad, np.float32)])
+        inv_mats = np.concatenate(
+            [inv_mats, np.tile(np.eye(2, 3, dtype=np.float32)[None],
+                               (pad, 1, 1))])
+        img_idx = np.concatenate([img_idx, np.zeros(pad, np.int32)])
+        K_f = np.concatenate([K_f, np.ones(pad, np.float32)])
+        K_cx = np.concatenate([K_cx, np.zeros(pad, np.float32)])
+
+        ls = self.ls_stats
+        out = self._get_jitted(alpha_mode)(
+            self.hrnet_vars, self.lifter_vars, ls,
+            jnp.asarray(images), jnp.asarray(inv_mats),
+            jnp.asarray(img_idx), jnp.asarray(valid),
+            jnp.asarray(K_f), jnp.asarray(K_cx))
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        # regroup per image
+        records = {}
+        start = 0
+        for i, path in enumerate(paths):
+            cnt = per_image_counts[i]
+            if cnt == 0:
+                continue
+            sl = slice(start, start + cnt)
+            rec = {
+                "kpts_2d_pred": [out["kpts_2d"][j].reshape(1, -1)
+                                 for j in range(start, start + cnt)],
+                "kpts_3d_pred": out["kpts_3d"][sl],
+                "euler_angles": out["euler_angles"][sl],
+                "translation": out["translation"][sl],
+                "alphas": out["alphas"][sl],
+                "center": list(centers[sl]),
+                "scale": list(scales[sl]),
+                "bbox_resize": list(rbs[sl]),
+                "boxes": np.asarray(annot_dict["boxes"][i]),
+            }
+            for key in ("K", "raw_txt_format", "scores", "kpts_3d_before",
+                        "kpts", "kpts_3d_gt", "pose_vecs_gt"):
+                if key in annot_dict:
+                    rec[key] = annot_dict[key][i]
+            records[path] = rec
+            start += cnt
+        return records
+
+    # ------------------------------------------------------------------
+    # post-processing: KITTI txt emission
+    # ------------------------------------------------------------------
+
+    def post_process(self, records: dict, save_dict=None, alpha_mode=None):
+        """Write KITTI txts for each image record (spec egonet.py:341-408).
+
+        ``alpha_mode`` is accepted for signature parity; the angles were
+        already computed in the fused forward.
+        """
+        from egonet_tpu.io import kitti_writer
+        for img_path, rec in records.items():
+            if "raw_txt_format" not in rec:
+                continue
+            pred_str = kitti_writer.prediction_str(
+                rec["raw_txt_format"], rec["euler_angles"], rec["alphas"])
+            rec["pred_str"] = pred_str
+            if save_dict and save_dict.get("flag"):
+                kitti_writer.save_txt_file(img_path, pred_str,
+                                           save_dict["save_dir"])
+        return records
+
+    def __call__(self, annot_dict: dict, **kwargs) -> dict:
+        return self.forward_annot_dict(annot_dict, **kwargs)

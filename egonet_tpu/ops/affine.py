@@ -1,0 +1,362 @@
+"""Affine crop math and the device-side warp.
+
+The host half reproduces the center/scale/rotation affine convention of the
+reference preprocessing kernel library (behavioural spec:
+/root/reference/libs/common/img_proc.py:26-105 — ``get_affine_transform`` /
+``affine_transform`` / cv2.warpAffine crops), without cv2: the 2x3 matrix is
+recovered from the same 3-point correspondence with a linear solve.
+
+The device half replaces the per-instance ``cv2.warpAffine`` Python loop with
+a single vmapped bilinear sampler: one XLA program warps every instance crop
+of a batch directly on TPU (zero-padding border semantics identical to
+cv2.BORDER_CONSTANT with value 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.constants import SIZE
+
+
+# ---------------------------------------------------------------------------
+# Host-side (NumPy) affine-matrix construction
+# ---------------------------------------------------------------------------
+
+def _rotate_2d(point, rot_rad: float):
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    return np.array([point[0] * cs - point[1] * sn,
+                     point[0] * sn + point[1] * cs], dtype=np.float64)
+
+
+def _third_point(a, b):
+    """Complete a right-angle triangle: rotate (a-b) by 90 deg around b."""
+    d = a - b
+    return b + np.array([-d[1], d[0]], dtype=np.float64)
+
+
+def _solve_affine(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """2x3 affine matrix mapping three src points onto three dst points."""
+    # A @ [x, y, 1]^T = [x', y']^T for each of the 3 correspondences.
+    ones = np.ones((3, 1), dtype=np.float64)
+    src_h = np.hstack([src.astype(np.float64), ones])          # [3, 3]
+    # Solve src_h @ M^T = dst  ->  M^T = src_h^-1 @ dst
+    m_t = np.linalg.solve(src_h, dst.astype(np.float64))        # [3, 2]
+    return m_t.T                                                # [2, 3]
+
+
+def get_affine_transform(center,
+                         scale,
+                         rot: float,
+                         output_size,
+                         shift=(0.0, 0.0),
+                         inv: bool = False) -> np.ndarray:
+    """Affine matrix for a center/scale/rotation crop.
+
+    Args:
+      center: (x, y) crop center in source-image pixels.
+      scale:  (sx, sy) crop scale; the crop covers ``scale * SIZE`` source px.
+      rot:    rotation in degrees.
+      output_size: (height, width) of the destination patch.
+      shift:  normalized shift of the crop center (fraction of scale*SIZE).
+      inv:    if True, return the inverse mapping (patch -> source).
+
+    Returns: float64 [2, 3] matrix.
+    """
+    center = np.asarray(center, dtype=np.float64).reshape(2)
+    scale = np.asarray(scale, dtype=np.float64).reshape(2)
+    shift = np.asarray(shift, dtype=np.float64).reshape(2)
+
+    scale_tmp = scale * SIZE
+    src_w = scale_tmp[0]
+    dst_h, dst_w = float(output_size[0]), float(output_size[1])
+
+    rot_rad = np.pi * rot / 180.0
+    src_dir = _rotate_2d([0.0, src_w * -0.5], rot_rad)
+    dst_dir = np.array([0.0, dst_w * -0.5], dtype=np.float64)
+
+    src = np.zeros((3, 2), dtype=np.float64)
+    dst = np.zeros((3, 2), dtype=np.float64)
+    src[0] = center + scale_tmp * shift
+    src[1] = center + src_dir + scale_tmp * shift
+    dst[0] = [dst_w * 0.5, dst_h * 0.5]
+    dst[1] = dst[0] + dst_dir
+    src[2] = _third_point(src[0], src[1])
+    dst[2] = _third_point(dst[0], dst[1])
+
+    if inv:
+        return _solve_affine(dst, src)
+    return _solve_affine(src, dst)
+
+
+def affine_transform_pts(pts: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Apply a [2, 3] affine matrix to [N, 2] points (host-side)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return pts @ t[:, :2].T + t[:, 2]
+
+
+# ---------------------------------------------------------------------------
+# Bounding-box <-> center/scale conversions (host-side, tiny)
+# ---------------------------------------------------------------------------
+
+def resize_bbox(left, top, right, bottom, target_ar: float = 1.0) -> dict:
+    """Expand a box (never shrink) to the target aspect ratio (h/w).
+
+    Spec: /root/reference/libs/common/img_proc.py:411-435.
+    """
+    width = right - left
+    height = bottom - top
+    aspect_ratio = height / width
+    cx = (left + right) / 2.0
+    cy = (top + bottom) / 2.0
+    if aspect_ratio > target_ar:
+        new_w = height / target_ar
+        bbox = [cx - 0.5 * new_w, top, cx + 0.5 * new_w, bottom]
+    else:
+        new_h = width * target_ar
+        bbox = [left, cy - 0.5 * new_h, right, cy + 0.5 * new_h]
+    return {
+        "bbox": bbox,
+        "c": np.array([cx, cy]),
+        "s": np.array([(bbox[2] - bbox[0]) / SIZE, (bbox[3] - bbox[1]) / SIZE]),
+    }
+
+
+def enlarge_bbox(left, top, right, bottom, enlarge) -> list:
+    w = (right - left) * enlarge[0]
+    h = (bottom - top) * enlarge[1]
+    cx = (left + right) / 2.0
+    cy = (top + bottom) / 2.0
+    return [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h]
+
+
+def modify_bbox(bbox, target_ar: float, enlarge: float = 1.1) -> dict:
+    """Enlarge then aspect-ratio-fix a detection box (crop definition used at
+    inference; spec /root/reference/libs/common/img_proc.py:453-459)."""
+    l = enlarge_bbox(bbox[0], bbox[1], bbox[2], bbox[3], [enlarge, enlarge])
+    return resize_bbox(l[0], l[1], l[2], l[3], target_ar=target_ar)
+
+
+def cs2bbox(center, size):
+    return [center[0] - size[0], center[1] - size[1],
+            center[0] + size[0], center[1] + size[1]]
+
+
+def resize_crop(crop_size, target_ar=None):
+    if target_ar is None:
+        return crop_size
+    width, height = crop_size[0], crop_size[1]
+    if height / width > target_ar:
+        return [height / target_ar, height]
+    return [width, width * target_ar]
+
+
+def kpts2cs(keypoints: np.ndarray,
+            enlarge: float = 1.1,
+            method: str = "boundary",
+            target_ar=None,
+            use_visibility: bool = True):
+    """Tight crop center/half-size from instance keypoints.
+
+    Spec: /root/reference/libs/common/img_proc.py:495-540.
+    Returns (center, crop_half_size, shifted_keypoints, visible_rate).
+    """
+    assert keypoints.shape[1] in (2, 3)
+    if keypoints.shape[1] == 2:
+        visible = keypoints
+        visible_idx = np.arange(len(keypoints))
+        vis_rate = 1.0
+    elif use_visibility:
+        visible_idx = keypoints[:, 2].nonzero()[0]
+        visible = keypoints[visible_idx, :2]
+        vis_rate = len(visible) / len(keypoints)
+    else:
+        visible = keypoints[:, :2]
+        visible_idx = np.arange(len(keypoints))
+        vis_rate = 1.0
+
+    if method == "centroid":
+        center = np.ceil(visible.mean(axis=0, keepdims=True))
+        dif = np.abs(visible - center).max(axis=0, keepdims=True)
+        crop_size = np.ceil(dif * enlarge).squeeze()
+        center = center.squeeze()
+    elif method == "boundary":
+        lt = visible.min(axis=0, keepdims=True)
+        rb = visible.max(axis=0, keepdims=True)
+        center = ((lt + rb) / 2.0).squeeze()
+        crop_size = ((rb - lt) * enlarge / 2.0).squeeze()
+    else:
+        raise NotImplementedError(method)
+
+    crop_size = resize_crop(crop_size, target_ar)
+    x1, y1, _, _ = cs2bbox(center, crop_size)
+    origin = np.array([[x1, y1]], dtype=keypoints.dtype)
+    new_keypoints = keypoints.copy()
+    if keypoints.shape[1] == 2:
+        new_keypoints = visible - origin
+    else:
+        new_keypoints[visible_idx, :2] = visible - origin
+    return center, crop_size, new_keypoints, vis_rate
+
+
+def crop_matrices_for_boxes(boxes: np.ndarray,
+                            output_size,
+                            target_ar: float,
+                            enlarge: float = 1.1):
+    """Forward+inverse affine matrices for a stack of detection boxes.
+
+    Host-side prep for the device warp: tiny (N x 12 floats), vectorizable.
+
+    Returns dict with 'fwd' [N,2,3], 'inv' [N,2,3], 'center' [N,2],
+    'scale' [N,2], 'bbox_resize' [N,4].
+    """
+    fwd, invm, centers, scales, rbs = [], [], [], [], []
+    for bbox in boxes:
+        ret = modify_bbox(bbox, target_ar, enlarge)
+        c, s = ret["c"], ret["s"]
+        fwd.append(get_affine_transform(c, s, 0.0, output_size))
+        invm.append(get_affine_transform(c, s, 0.0, output_size, inv=True))
+        centers.append(c)
+        scales.append(s)
+        rbs.append(ret["bbox"])
+    n = len(boxes)
+    return {
+        "fwd": np.array(fwd).reshape(n, 2, 3),
+        "inv": np.array(invm).reshape(n, 2, 3),
+        "center": np.array(centers).reshape(n, 2),
+        "scale": np.array(scales).reshape(n, 2),
+        "bbox_resize": np.array(rbs).reshape(n, 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device-side warp (jnp, jit/vmap-friendly)
+# ---------------------------------------------------------------------------
+
+def warp_affine(image: jax.Array, inv_mat: jax.Array, out_hw) -> jax.Array:
+    """Bilinear affine warp of one image on device.
+
+    Args:
+      image: [H, W, C] float array.
+      inv_mat: [2, 3] matrix mapping destination pixel -> source pixel
+               (i.e. ``get_affine_transform(..., inv=True)``).
+      out_hw: static (height, width) of the output patch.
+
+    Samples outside the source image contribute zero, matching
+    cv2.warpAffine's default BORDER_CONSTANT(0) behaviour.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = image.shape[0], image.shape[1]
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                     # [out_h, out_w]
+    inv_mat = inv_mat.astype(jnp.float32)
+    sx = inv_mat[0, 0] * gx + inv_mat[0, 1] * gy + inv_mat[0, 2]
+    sy = inv_mat[1, 0] * gx + inv_mat[1, 1] * gy + inv_mat[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = image[yc, xc]                           # [out_h, out_w, C]
+        return vals * valid[..., None].astype(image.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def _interp_weights(start: jax.Array, step: jax.Array, n_out: int,
+                    n_src: int, dtype=jnp.float32) -> jax.Array:
+    """Linear-interpolation weight matrix for a 1-D affine resample.
+
+    Output sample i reads source coordinate ``start + step*i``; entry
+    [i, v] is the bilinear hat weight max(0, 1 - |coord_i - v|).  Out-of-
+    range coordinates get all-zero rows — identical to BORDER_CONSTANT(0).
+    Returns [n_out, n_src].
+    """
+    coords = start + step * jnp.arange(n_out, dtype=jnp.float32)
+    d = jnp.abs(coords[:, None] - jnp.arange(n_src, dtype=jnp.float32)[None])
+    return jnp.maximum(0.0, 1.0 - d).astype(dtype)
+
+
+def warp_affine_separable(images: jax.Array,
+                          inv_mats: jax.Array,
+                          img_idx: jax.Array,
+                          out_hw) -> jax.Array:
+    """Axis-aligned (rotation-free) affine warp as two batched matmuls.
+
+    TPU-native formulation: arbitrary-gather bilinear sampling is ~100x
+    slower than matrix math on TPU, but every EgoNet crop is an axis-aligned
+    scale+translate (rotation is 0 throughout the reference pipeline), so
+    bilinear resampling factorizes into a row interpolation and a column
+    interpolation — both MXU matmuls:
+
+        out[n] = Ry[n] @ img[idx[n]] @ Rx[n]^T
+
+    images: [B, H, W, C] (any real dtype); inv_mats: [N, 2, 3] axis-aligned
+    patch->source affines; img_idx: [N].  Returns [N, out_h, out_w, C] f32.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = images.shape[1], images.shape[2]
+    imgs_f = images.astype(jnp.float32)
+
+    # HIGH = 3-pass bf16 on TPU: ~f32-accurate for 8-bit image intensities
+    # at a third of the cost of full f32 (HIGHEST) matmuls
+    precision = jax.lax.Precision.HIGH
+
+    def one(mat, idx):
+        mat = mat.astype(jnp.float32)
+        ry = _interp_weights(mat[1, 2], mat[1, 1], out_h, h)   # [out_h, H]
+        rx = _interp_weights(mat[0, 2], mat[0, 0], out_w, w)   # [out_w, W]
+        img = imgs_f[idx]                                      # [H, W, C]
+        tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=precision)
+        return jnp.einsum("xw,ywc->yxc", rx, tmp, precision=precision)
+
+    return jax.vmap(one)(inv_mats, img_idx)
+
+
+def warp_instances(image: jax.Array,
+                   inv_mats: jax.Array,
+                   out_hw,
+                   mean: jax.Array | None = None,
+                   std: jax.Array | None = None) -> jax.Array:
+    """Warp+normalize a batch of instance crops from one source image.
+
+    image: [H, W, 3] in [0, 1] float; inv_mats: [N, 2, 3].
+    Returns [N, out_h, out_w, 3] crops, ImageNet-normalized when mean/std
+    are given.  This is the device-side replacement for the reference's
+    per-instance cv2.warpAffine loop (egonet.py:105-155).
+    """
+    crops = jax.vmap(lambda m: warp_affine(image, m, out_hw))(inv_mats)
+    if mean is not None:
+        crops = (crops - mean) / std
+    return crops
+
+
+def batched_affine_transform(pts: jax.Array, mats: jax.Array) -> jax.Array:
+    """Apply per-instance [2,3] affines to [N, K, 2] points on device.
+
+    Geometry transforms always run at full fp32 precision: the default
+    matmul precision on TPU is bf16, which costs ~0.5% coordinate error.
+    """
+    rot = jnp.einsum("nkj,nij->nki", pts, mats[:, :, :2],
+                     precision=jax.lax.Precision.HIGHEST)
+    return rot + mats[:, None, :, 2]

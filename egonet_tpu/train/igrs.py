@@ -1,0 +1,193 @@
+"""Stage-2 training: the HRNet keypoint (IGR) model.
+
+Replaces the reference's torch training loop
+(/root/reference/libs/trainer/trainer.py:127-263 driven by
+tools/train_IGRs.py) with a single pjit-able train step: device-side crop
+warping, Gaussian-target rendering, forward, composite loss, gradient
+all-reduce over the data mesh and optax update — one XLA program.
+
+Parallelism: batches are instance-sharded over the 1-D ``data`` mesh;
+parameters/optimizer state are replicated; XLA inserts the gradient psum.
+The cross-ratio term switches on after the first epoch
+(trainer.py:167-169).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from egonet_tpu.data.loader import IGRBatchLoader
+from egonet_tpu.models.hrnet import build_hrnet
+from egonet_tpu.ops import affine
+from egonet_tpu.ops.keypoints import gaussian_targets
+from egonet_tpu.parallel import mesh as pmesh
+from egonet_tpu.train import losses, optim
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class IGRTrainer:
+    def __init__(self, cfgs: dict, mesh=None, dtype=jnp.float32,
+                 steps_per_epoch: int = 1, logger=None):
+        self.cfgs = cfgs
+        self.mesh = mesh
+        self.dtype = dtype
+        self.logger = logger
+        self.model = build_hrnet(cfgs, dtype=dtype)
+        self.loss_cfg = losses.CompositeLossConfig(cfgs)
+        hm = cfgs["heatmapModel"]
+        self.input_size = tuple(hm["input_size"])           # (w, h)
+        self.heatmap_size = tuple(hm.get("heatmap_size", (64, 64)))
+        self.sigma = float(hm.get("sigma", 1.0))
+        self.tx, self.schedule = optim.prepare_optim(cfgs, steps_per_epoch)
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng_seed: int = 0, variables=None) -> TrainState:
+        w, h = self.input_size
+        in_ch = 5 if self.cfgs["heatmapModel"].get("add_xy") else 3
+        if variables is None:
+            from egonet_tpu.models.initialization import numpy_init
+            variables = numpy_init(self.model, rng_seed,
+                                   jnp.zeros((1, h, w, in_ch)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(params, batch_stats, opt_state,
+                           jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = pmesh.replicate_pytree(state, self.mesh)
+        else:
+            state = jax.device_put(state, jax.devices()[0])
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _crops_from_batch(self, batch):
+        """Device-side warp + normalize of all instances in the batch."""
+        w, h = self.input_size
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        patches = affine.warp_affine_separable(
+            batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
+        return (jnp.round(patches) / 255.0 - mean) / std
+
+    def _loss_fn(self, params, batch_stats, batch, apply_cr):
+        crops = self._crops_from_batch(batch)
+        outputs, new_state = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops, train=True, mutable=["batch_stats"])
+        joints = batch["joints"]                            # [M, K, 3]
+        w, h = self.input_size
+        targets, tweight = gaussian_targets(
+            joints[..., :2], joints[..., 2],
+            (self.heatmap_size[1], self.heatmap_size[0]),
+            (h, w), self.sigma)
+        total, comps = losses.composite_loss(
+            outputs, targets, joints[..., :2], self.loss_cfg,
+            mask=batch["mask"], apply_cr=apply_cr)
+        return total, (new_state["batch_stats"], comps)
+
+    def _make_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("apply_cr",),
+                           donate_argnums=(0,))
+        def step(state: TrainState, batch, apply_cr: bool):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (new_bs, comps)), grads = grad_fn(
+                state.params, state.batch_stats, batch, apply_cr)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            metrics = {"loss": loss, **comps}
+            return TrainState(new_params, new_bs, new_opt,
+                              state.step + 1), metrics
+        return step
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step(state: TrainState, batch):
+            crops = self._crops_from_batch(batch)
+            maps, coords = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                crops, train=False)
+            return {"maps": maps, "coords": coords}
+        return step
+
+    # ------------------------------------------------------------------
+
+    def train_step(self, state, batch, apply_cr: bool = False):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        batch = self._device_batch(batch)
+        return self._train_step(state, batch, apply_cr)
+
+    def eval_step(self, state, batch):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        batch = self._device_batch(batch)
+        return self._eval_step(state, batch)
+
+    def _device_batch(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        out = {}
+        for k, v in batch.items():
+            if k == "images":
+                # images are indexed by every instance: replicate
+                out[k] = jax.device_put(
+                    v, pmesh.replicated_sharding(self.mesh))
+            else:
+                out[k] = jax.device_put(v, pmesh.batch_sharding(self.mesh))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def fit(self, train_records, valid_records=None, epochs=None,
+            seed: int = 0, report_every: int = 30, eval_hook=None):
+        """Full training loop mirroring the reference epoch structure."""
+        settings = self.cfgs.get("training_settings", {})
+        epochs = epochs or int(settings.get("total_epochs", 1))
+        loader = IGRBatchLoader(train_records, self.cfgs, train=True,
+                                seed=seed)
+        state = self.init_state(seed)
+        history = []
+        for epoch in range(epochs):
+            # cross-ratio loss switches on after the first epoch
+            apply_cr = epoch >= 1 and self.loss_cfg.use_cr
+            t0 = time.time()
+            n_batches = 0
+            running = 0.0
+            for batch in loader.prefetched_epoch():
+                state, metrics = self.train_step(state, batch, apply_cr)
+                n_batches += 1
+                running += float(metrics["loss"])
+                if self.logger and n_batches % report_every == 0:
+                    self.logger.info(
+                        f"epoch {epoch} batch {n_batches} "
+                        f"loss {running / n_batches:.5f}")
+            dt = time.time() - t0
+            history.append({"epoch": epoch,
+                            "loss": running / max(n_batches, 1),
+                            "seconds": dt})
+            if self.logger:
+                self.logger.info(
+                    f"epoch {epoch} done: loss "
+                    f"{history[-1]['loss']:.5f} ({dt:.1f}s)")
+            if eval_hook is not None:
+                eval_hook(self, state, epoch)
+        return state, history

@@ -1,0 +1,148 @@
+"""Stage-1 training: the FC 2D->3D lifting model.
+
+Replaces the reference's ``train_cascade``/``evaluate_cascade``
+(/root/reference/libs/trainer/trainer.py:25-111 driven by
+tools/train_lifting.py): in-RAM normalized (input, output) pairs, large
+batches, MSE loss, Adam + multi-step decay.  Saves the L.pth-equivalent
+parameters plus the LS.npy statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.data.loader import ArrayBatchLoader
+from egonet_tpu.models.fc_lifter import build_fc_model
+from egonet_tpu.parallel import mesh as pmesh
+from egonet_tpu.train import losses, optim
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class LiftingTrainer:
+    def __init__(self, cfgs: dict, mesh=None, dtype=jnp.float32,
+                 steps_per_epoch: int = 1, logger=None):
+        self.cfgs = cfgs
+        self.mesh = mesh
+        self.logger = logger
+        self.model = build_fc_model(cfgs, dtype=dtype)
+        self.tx, self.schedule = optim.prepare_optim(cfgs, steps_per_epoch)
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, rng_seed: int = 0) -> TrainState:
+        in_size = int(self.cfgs["FCModel"]["input_size"])
+        from egonet_tpu.models.initialization import numpy_init
+        variables = numpy_init(self.model, rng_seed, jnp.zeros((1, in_size)))
+        state = TrainState(variables["params"],
+                           variables.get("batch_stats", {}),
+                           self.tx.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = pmesh.replicate_pytree(state, self.mesh)
+        else:
+            state = jax.device_put(state, jax.devices()[0])
+        return state
+
+    def _loss_fn(self, params, batch_stats, batch, dropout_rng):
+        out, new_state = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["input"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng})
+        loss = losses.mse_loss_1d(out, batch["output"], batch["mask"])
+        return loss, new_state["batch_stats"]
+
+    def _make_train_step(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, batch, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_bs), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, dropout_rng)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            return TrainState(new_params, new_bs, new_opt,
+                              state.step + 1), loss
+        return step
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step(state: TrainState, batch):
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["input"], train=False)
+            return out
+        return step
+
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        return self._train_step(state, self._device_batch(batch), rng)
+
+    def eval_step(self, state, batch):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        return self._eval_step(state, self._device_batch(batch))
+
+    def _device_batch(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        return pmesh.shard_batch_pytree(batch, self.mesh)
+
+    def fit(self, train_set, valid_set=None, epochs=None, seed: int = 0):
+        """train_set: KITTIDataset with exp_type='2dto3d' (normalized)."""
+        settings = self.cfgs.get("training_settings", {})
+        epochs = epochs or int(settings.get("total_epochs", 1))
+        batch_size = int(settings.get("batch_size", 2048))
+        loader = ArrayBatchLoader(train_set.input, train_set.output,
+                                  batch_size, seed=seed)
+        state = self.init_state(seed)
+        rng = jax.random.PRNGKey(seed + 1)
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            total, n = 0.0, 0
+            for batch in loader.epoch():
+                state, loss = self.train_step(state, batch, rng)
+                total += float(loss)
+                n += 1
+            history.append({"epoch": epoch, "loss": total / max(n, 1),
+                            "seconds": time.time() - t0})
+            if self.logger:
+                self.logger.info(f"lifter epoch {epoch}: "
+                                 f"loss {history[-1]['loss']:.6f}")
+            if valid_set is not None and len(valid_set.input):
+                preds = self.predict(state, valid_set.input)
+                mse = float(np.mean((preds - valid_set.output) ** 2))
+                history[-1]["valid_mse"] = mse
+                if self.logger:
+                    self.logger.info(f"lifter epoch {epoch}: "
+                                     f"valid mse {mse:.6f}")
+        return state, history
+
+    def predict(self, state, inputs, batch_size: int = 4096):
+        outs = []
+        for start in range(0, len(inputs), batch_size):
+            chunk = np.asarray(inputs[start:start + batch_size],
+                               dtype=np.float32)
+            n = len(chunk)
+            if n < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - n, chunk.shape[1]),
+                                     np.float32)])
+            out = self.eval_step(state, {"input": chunk})
+            outs.append(np.asarray(out)[:n])
+        return np.concatenate(outs) if outs else np.zeros((0,))

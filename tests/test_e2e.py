@@ -1,0 +1,105 @@
+"""End-to-end slice: synthetic KITTI frames -> fused EgoNet pipeline ->
+KITTI txt emission (SURVEY.md §7 step 4, with a small random-weight model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from egonet_tpu.config import default_demo_config
+from egonet_tpu.data import kitti
+from tests import fixtures
+
+
+def small_cfg(root):
+    import copy
+    cfg = default_demo_config()
+    cfg["dataset"]["root"] = root
+    extra = cfg["heatmapModel"]["extra"]
+    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
+    extra["stage3"].update({"num_channels": [8, 16, 32],
+                            "num_blocks": [1, 1, 1], "num_modules": 1})
+    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
+                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
+    cfg["heatmapModel"]["input_size"] = [64, 64]
+    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    root, pred_dir = fixtures.make_kitti_root(tmp, n_images=2,
+                                              with_predictions=True)
+    cfg = small_cfg(root)
+    from egonet_tpu.models.egonet import EgoNet
+    model = EgoNet(cfg, pre_trained=False)
+    ds = kitti.get_dataset(cfg, split="valid")
+    return tmp, root, pred_dir, cfg, model, ds
+
+
+def test_forward_record_structure(setup):
+    _, root, _, cfg, model, ds = setup
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]]}
+    records = model(annot)
+    assert path in records
+    out = records[path]
+    n = len(rec["bbox_2d"])
+    assert len(out["kpts_2d_pred"]) == n
+    assert out["kpts_3d_pred"].shape == (n, 32, 3)
+    assert out["euler_angles"].shape == (n, 3)
+    assert out["alphas"].shape == (n,)
+    assert np.all(np.isfinite(out["euler_angles"]))
+    assert np.all(np.abs(out["alphas"]) <= np.pi + 1e-6)
+
+
+def test_txt_emission_preserves_detector_fields(setup, tmp_path):
+    _, root, pred_dir, cfg, model, ds = setup
+    preds = ds.read_predictions(pred_dir)
+    name = ds.image_names[0]
+    rec = preds[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]],
+             "scores": [[r["score"] for r in rec["raw_txt_format"]]]}
+    records = model(annot)
+    save_dir = str(tmp_path / "submission")
+    model.post_process(records, save_dict={"flag": True,
+                                           "save_dir": save_dir})
+    out_file = os.path.join(save_dir, name[:-3] + "txt")
+    assert os.path.exists(out_file)
+    lines = open(out_file).read().splitlines()
+    assert len(lines) == len(rec["raw_txt_format"])
+    for line, raw in zip(lines, rec["raw_txt_format"]):
+        f = line.split()
+        assert f[0] == raw["class"]
+        # detector fields preserved
+        np.testing.assert_allclose([float(x) for x in f[4:8]], raw["bbox"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(f[8]), raw["dimensions"][1],
+                                   atol=1e-5)  # h
+        np.testing.assert_allclose(float(f[13]), raw["locations"][2],
+                                   atol=1e-5)  # z
+        assert abs(float(f[15]) - raw["score"]) < 1e-6
+        # rot_y / alpha overwritten by the model (untrained -> differs)
+        assert float(f[14]) != raw["rot_y"]
+
+
+def test_pipeline_instance_padding_invariance(setup):
+    """Padding instances must not change real-instance outputs."""
+    _, root, _, cfg, model, ds = setup
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    # 3 boxes -> bucket 8; run with 1 box -> bucket 8 as well
+    annot_full = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]]}
+    annot_one = {"path": [path], "boxes": [rec["bbox_2d"][:1]],
+                 "K": [rec["K"]]}
+    r_full = model(annot_full)[path]
+    r_one = model(annot_one)[path]
+    np.testing.assert_allclose(r_one["euler_angles"][0],
+                               r_full["euler_angles"][0], atol=1e-4)

@@ -1,0 +1,160 @@
+"""Inference of EgoNet-TPU on KITTI: refine externally-detected boxes (and/or
+ground-truth boxes), emit KITTI txt predictions, and optionally run the
+vendored C++ evaluator.
+
+CLI-compatible with the reference entry point
+(/root/reference/tools/inference.py): --cfg <yaml> [--visualize]
+[--batch_to_show N].
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from egonet_tpu import config as cfg_mod
+from egonet_tpu.data import kitti as libkitti
+from egonet_tpu.io import kitti_writer
+from egonet_tpu.ops.affine import modify_bbox
+from egonet_tpu.utils.logger import get_logger
+
+
+def filter_conf(record, thres=0.0):
+    """Keep detections with score >= threshold (ref inference.py:63-78)."""
+    annots = record["raw_txt_format"]
+    indices = [i for i in range(len(annots))
+               if annots[i].get("score", 1.0) >= thres]
+    if not indices:
+        return False, record
+    filtered = {
+        "bbox_2d": record["bbox_2d"][indices],
+        "kpts_3d": record["kpts_3d"][indices],
+        "raw_txt_format": [annots[i] for i in indices],
+        "scores": [annots[i].get("score", 1.0) for i in indices],
+        "K": record["K"],
+    }
+    return True, filtered
+
+
+def gather_dict(request, references, thres=0.0, target_ar=1.0, enlarge=1.2):
+    """Assemble the model input dict from prepared detections
+    (ref inference.py:80-127; boxes enlarged 1.2x before cropping)."""
+    ret = {"path": [], "boxes": [], "kpts_3d_before": [],
+           "raw_txt_format": [], "scores": [], "K": []}
+    for img_path in request["path"]:
+        img_name = os.path.basename(img_path)
+        if img_name not in references:
+            print(f"Warning: {img_name} not included in detected images!")
+            continue
+        ok, ref = filter_conf(references[img_name], thres)
+        if not ok:
+            continue
+        boxes = np.array([
+            modify_bbox(b, target_ar=target_ar, enlarge=enlarge)["bbox"]
+            for b in ref["bbox_2d"]])
+        ret["path"].append(img_path)
+        ret["boxes"].append(boxes)
+        ret["kpts_3d_before"].append(ref["kpts_3d"])
+        ret["raw_txt_format"].append(ref["raw_txt_format"])
+        ret["scores"].append(ref["scores"])
+        ret["K"].append(ref["K"])
+    return ret
+
+
+def make_output_dir(cfgs, name):
+    save_dir = os.path.join(cfgs["dirs"]["output"], name, "data")
+    os.makedirs(save_dir, exist_ok=True)
+    return save_dir
+
+
+def inference(dataset, model, results, cfgs, logger):
+    """The inference loop (ref inference.py:136-199)."""
+    alpha_mode = cfgs.get("testing_settings", {}).get("alpha_mode", "proj")
+    batch_size = int(cfgs.get("testing_settings", {}).get("batch_size", 1))
+    names = dataset.image_names
+    enlarge = cfgs["dataset"].get("enlarge_factor", 1.2)
+    width, height = cfgs["heatmapModel"]["input_size"]
+    thres = cfgs.get("conf_thres", 0.0)
+
+    for start in range(0, len(names), batch_size):
+        chunk = names[start:start + batch_size]
+        paths = [dataset.paths.image_path(n) for n in chunk]
+        if cfgs.get("use_gt_box"):
+            save_dir = make_output_dir(cfgs, "gt_box_test")
+            annot = {"path": [], "boxes": [], "K": [], "raw_txt_format": []}
+            for p, n in zip(paths, chunk):
+                rec = dataset.annot_dict.get(n)
+                if not rec or "bbox_2d" not in rec:
+                    continue
+                annot["path"].append(p)
+                annot["boxes"].append(rec["bbox_2d"])
+                annot["K"].append(rec["K"])
+                annot["raw_txt_format"].append(rec["raw_txt_format"])
+            if annot["path"]:
+                records = model(annot, enlarge=1.1, alpha_mode=alpha_mode)
+                model.post_process(records,
+                                   save_dict={"flag": True,
+                                              "save_dir": save_dir})
+        if cfgs.get("use_pred_box") and "pred" in results:
+            annot = gather_dict({"path": paths}, results["pred"],
+                                thres=thres, target_ar=height / width,
+                                enlarge=enlarge)
+            if annot["path"]:
+                save_dir = make_output_dir(cfgs, "submission")
+                # boxes were already enlarged by gather_dict; crop as-is
+                records = model(annot, enlarge=1.0, alpha_mode=alpha_mode)
+                model.post_process(records,
+                                   save_dict={"flag": True,
+                                              "save_dir": save_dir})
+        if start // batch_size >= cfgs.get("batch_to_show", 10 ** 9) - 1:
+            break
+
+
+def main(argv=None):
+    from egonet_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cfgs = cfg_mod.parse_args(argv)
+    logger, final_output_dir = get_logger(cfgs)
+    shutil.copyfile(cfgs["config_path"],
+                    os.path.join(final_output_dir, "saved_config.yml"))
+
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfgs.get("bf16", True) else jnp.float32
+
+    split = cfgs["dataset"]["split"]
+    dataset = libkitti.get_dataset(cfgs, logger, split)
+
+    results = {}
+    if cfgs.get("use_pred_box"):
+        results["pred"] = dataset.read_predictions(
+            cfgs["dirs"]["load_prediction_file"])
+
+    from egonet_tpu.models.egonet import EgoNet
+    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", True),
+                   dtype=dtype)
+    inference(dataset, model, results, cfgs, logger)
+
+    output_dir = os.path.join(cfgs["dirs"]["output"], "submission")
+    if split == "test":
+        calib_dir = os.path.join(cfgs["dataset"]["root"], "testing", "calib")
+        kitti_writer.generate_empty_files(output_dir, calib_dir)
+        return
+
+    evaluator = os.path.join(os.path.dirname(__file__), "kitti-eval",
+                             "evaluate_object_3d_offline")
+    label_dir = os.path.join(cfgs["dataset"]["root"], "training", "label_2")
+    if os.path.exists(evaluator) and os.path.isdir(output_dir):
+        out = subprocess.check_output(f"{evaluator} {label_dir} {output_dir}",
+                                      shell=True)
+        print(out.decode())
+        return out
+
+
+if __name__ == "__main__":
+    from egonet_tpu.utils.runtime import clean_exit
+    main()
+    clean_exit(0)

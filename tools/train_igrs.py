@@ -1,0 +1,79 @@
+"""Stage-2 training CLI: the HRNet keypoint (IGR) model -> HC checkpoint.
+
+Mirrors /root/reference/tools/train_IGRs.py: --cfg <yaml>.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from egonet_tpu import config as cfg_mod
+from egonet_tpu.data import kitti as libkitti
+from egonet_tpu.utils.logger import get_logger
+
+
+def main(argv=None):
+    from egonet_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cfgs = cfg_mod.parse_args(argv)
+    logger, out_dir = get_logger(cfgs)
+
+    import jax
+    import jax.numpy as jnp
+    from egonet_tpu.parallel import mesh as pmesh
+    from egonet_tpu.train.igrs import IGRTrainer
+    from egonet_tpu.io import torch_convert, checkpoint
+
+    train_set = libkitti.KITTIDataset(cfgs, "train", logger)
+    valid_set = libkitti.KITTIDataset(cfgs, "valid", logger)
+
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    loader_steps = max(1, (len(train_set.records)
+                           + cfgs["training_settings"]["batch_size"] - 1)
+                       // cfgs["training_settings"]["batch_size"])
+    dtype = jnp.bfloat16 if cfgs.get("bf16", False) else jnp.float32
+    trainer = IGRTrainer(cfgs, mesh=mesh, dtype=dtype,
+                         steps_per_epoch=loader_steps, logger=logger)
+
+    # warm start from a pretrained torch checkpoint when configured
+    variables = None
+    pretrained = cfgs["heatmapModel"].get("pretrained")
+    if cfgs["heatmapModel"].get("init_weights") and pretrained \
+            and os.path.exists(pretrained):
+        logger.info(f"loading pretrained start point {pretrained}")
+        sd = torch_convert.load_torch_state_dict(pretrained)
+        allowed = cfgs["heatmapModel"]["extra"].get("pretrained_layers", ["*"])
+        if allowed and allowed[0] != "*":
+            sd = {k: v for k, v in sd.items()
+                  if k.split(".")[0] in allowed}
+        partial = torch_convert.torch_to_flax(sd)
+        init = trainer.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfgs["heatmapModel"]["input_size"][1],
+                       cfgs["heatmapModel"]["input_size"][0], 3)))
+        variables = checkpoint.merge_partial(dict(init), partial)
+
+    state = trainer.init_state(0, variables=variables)
+    del state  # fit() creates its own; kept for API clarity
+
+    state, history = trainer.fit(train_set.records, valid_set.records)
+    logger.info(f"training done: {history[-1] if history else 'no steps'}")
+
+    # save both native (orbax/msgpack) and torch-compatible checkpoints
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    checkpoint.save_variables(os.path.join(ckpt_dir, "HC.msgpack"), variables)
+    checkpoint.save_torch_state_dict(os.path.join(ckpt_dir, "HC.pth"),
+                                     variables)
+    logger.info(f"saved HC checkpoints under {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    from egonet_tpu.utils.runtime import clean_exit
+    main()
+    clean_exit(0)

@@ -1,0 +1,52 @@
+"""Stage-1 training CLI: the FC lifter -> L checkpoint + LS statistics.
+
+Mirrors /root/reference/tools/train_lifting.py: --cfg <yaml>.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from egonet_tpu import config as cfg_mod
+from egonet_tpu.data import kitti as libkitti
+from egonet_tpu.utils.logger import get_logger
+
+
+def main(argv=None):
+    from egonet_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cfgs = cfg_mod.parse_args(argv)
+    logger, out_dir = get_logger(cfgs)
+
+    import jax
+    from egonet_tpu.parallel import mesh as pmesh
+    from egonet_tpu.train.lifting import LiftingTrainer
+    from egonet_tpu.io import checkpoint
+
+    train_set, valid_set = libkitti.prepare_data(cfgs, logger)
+    logger.info(f"lifting pairs: train {len(train_set.input)}, "
+                f"valid {len(valid_set.input)}")
+
+    batch = int(cfgs["training_settings"].get("batch_size", 2048))
+    steps = max(1, len(train_set.input) // batch)
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    trainer = LiftingTrainer(cfgs, mesh=mesh, steps_per_epoch=steps,
+                             logger=logger)
+    state, history = trainer.fit(train_set, valid_set)
+
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    checkpoint.save_variables(os.path.join(ckpt_dir, "L.msgpack"), variables)
+    checkpoint.save_torch_state_dict(os.path.join(ckpt_dir, "L.pth"),
+                                     variables)
+    checkpoint.save_lifter_stats(os.path.join(ckpt_dir, "LS.npy"),
+                                 train_set.statistics)
+    logger.info(f"saved L.pth/L.msgpack/LS.npy under {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    from egonet_tpu.utils.runtime import clean_exit
+    main()
+    clean_exit(0)
