@@ -1,0 +1,265 @@
+"""KITTI evaluator tests: overlap kernels vs analytic oracles, protocol
+sanity (perfect detections -> AP 100), AOS behaviour, and a C++ <-> Python
+cross-check on a randomized scenario."""
+
+import math
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from egonet_tpu.eval import kitti_eval as ke
+
+CPP_BIN = os.path.join(os.path.dirname(__file__), "..", "tools",
+                       "kitti-eval", "evaluate_object_3d_offline")
+
+
+def obj(**kw):
+    defaults = dict(type="Car", truncation=0.0, occlusion=0, alpha=0.0,
+                    x1=0.0, y1=0.0, x2=100.0, y2=60.0,
+                    h=1.5, w=1.6, l=3.9, t1=0.0, t2=1.6, t3=20.0, ry=0.0,
+                    score=0.9)
+    defaults.update(kw)
+    return ke.Obj(**defaults)
+
+
+# ---------------------------------------------------------------- kernels
+
+def test_image_overlap_identity():
+    a = obj()
+    assert ke.image_box_overlap(a, a) == pytest.approx(1.0)
+
+
+def test_image_overlap_half():
+    a = obj(x1=0, y1=0, x2=100, y2=100)
+    b = obj(x1=50, y1=0, x2=150, y2=100)
+    # inter 50*100, union 15000
+    assert ke.image_box_overlap(a, b) == pytest.approx(5000 / 15000)
+
+
+def test_bev_overlap_axis_aligned():
+    a = obj(l=4.0, w=2.0, t1=0.0, t3=0.0, ry=0.0)
+    b = obj(l=4.0, w=2.0, t1=2.0, t3=0.0, ry=0.0)
+    # inter = 2x2 = 4, union = 8+8-4 = 12
+    assert ke.ground_box_overlap(a, b) == pytest.approx(4 / 12, abs=1e-9)
+
+
+def test_bev_overlap_rotated_90():
+    a = obj(l=4.0, w=2.0, t1=0.0, t3=0.0, ry=0.0)
+    b = obj(l=4.0, w=2.0, t1=0.0, t3=0.0, ry=math.pi / 2)
+    # two crossed 4x2 rectangles: intersection 2x2 = 4; union 12
+    assert ke.ground_box_overlap(a, b) == pytest.approx(4 / 12, abs=1e-6)
+
+
+def test_bev_overlap_rotated_45_contained():
+    # small rotated box fully inside a big one
+    a = obj(l=10.0, w=10.0, t1=0.0, t3=0.0, ry=0.0)
+    b = obj(l=2.0, w=2.0, t1=0.0, t3=0.0, ry=math.pi / 4)
+    inter = ke.bev_intersection_area(a, b)
+    assert inter == pytest.approx(4.0, abs=1e-9)
+
+
+def test_box3d_overlap_with_height():
+    a = obj(l=4.0, w=2.0, h=2.0, t2=2.0)
+    b = obj(l=4.0, w=2.0, h=2.0, t2=3.0)  # shifted down 1m -> 1m y-overlap
+    # same footprint: inter vol = 8*1 = 8; union = 16+16-8 = 24
+    assert ke.box3d_overlap(a, b) == pytest.approx(8 / 24, abs=1e-9)
+
+
+# ---------------------------------------------------------------- protocol
+
+def _gt_line(o):
+    return (f"{o.type} {o.truncation:.2f} {o.occlusion} {o.alpha:.2f} "
+            f"{o.x1:.2f} {o.y1:.2f} {o.x2:.2f} {o.y2:.2f} "
+            f"{o.h:.2f} {o.w:.2f} {o.l:.2f} "
+            f"{o.t1:.2f} {o.t2:.2f} {o.t3:.2f} {o.ry:.2f}")
+
+
+def _det_line(o):
+    return _gt_line(o) + f" {o.score:.4f}"
+
+
+def make_dirs(tmp_path, frames):
+    """frames: list of (gts, dets)."""
+    gt_dir = tmp_path / "label_2"
+    res_dir = tmp_path / "results"
+    data_dir = res_dir / "data"
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    for i, (gts, dets) in enumerate(frames):
+        (gt_dir / f"{i:06d}.txt").write_text(
+            "\n".join(_gt_line(g) for g in gts) + "\n")
+        (data_dir / f"{i:06d}.txt").write_text(
+            "\n".join(_det_line(d) for d in dets) + "\n")
+    return str(gt_dir), str(res_dir)
+
+
+def _spread_gt(n, seed=0):
+    """n well-separated cars with distinct scores for the matching dets."""
+    rng = np.random.RandomState(seed)
+    gts, dets = [], []
+    for i in range(n):
+        x = 10.0 + 110.0 * i
+        g = obj(x1=x, y1=100.0, x2=x + 80.0, y2=160.0,
+                t1=-40.0 + 8.0 * i, t3=15.0 + 0.5 * i,
+                alpha=float(rng.uniform(-np.pi, np.pi)))
+        d = obj(**{**g.__dict__})
+        d.score = 1.0 - i * 0.01
+        gts.append(g)
+        dets.append(d)
+    return gts, dets
+
+
+def test_perfect_detections_ap100(tmp_path):
+    frames = []
+    for f in range(6):
+        gts, dets = _spread_gt(7, seed=f)
+        frames.append((gts, dets))
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    results = ke.evaluate(gt_dir, res_dir)
+    car = results["car"]
+    for metric in ("image", "ground", "3d"):
+        for diff in ("easy", "moderate", "hard"):
+            assert car[metric][diff]["ap_r40"] == pytest.approx(100.0), \
+                (metric, diff)
+    # perfect orientations -> AOS == AP
+    assert car["image"]["easy"]["aos_r40"] == pytest.approx(100.0)
+
+
+def test_wrong_orientation_halves_aos(tmp_path):
+    frames = []
+    for f in range(6):
+        gts, dets = _spread_gt(7, seed=10 + f)
+        for d in dets:
+            d.alpha = d.alpha + math.pi  # opposite orientation
+        frames.append((gts, dets))
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    results = ke.evaluate(gt_dir, res_dir)
+    assert results["car"]["image"]["easy"]["ap_r40"] == pytest.approx(100.0)
+    # (1 + cos(pi))/2 = 0 similarity (small residual from the .2f-rounded
+    # alpha values in the txt files)
+    assert results["car"]["image"]["easy"]["aos_r40"] == pytest.approx(
+        0.0, abs=1e-2)
+
+
+def test_missed_detections_reduce_ap(tmp_path):
+    frames = []
+    for f in range(6):
+        gts, dets = _spread_gt(8, seed=20 + f)
+        frames.append((gts, dets[:4]))  # miss half
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    results = ke.evaluate(gt_dir, res_dir)
+    ap = results["car"]["image"]["easy"]["ap_r40"]
+    assert 30.0 < ap < 60.0  # max recall 0.5
+
+
+def test_difficulty_gates_clean_data():
+    g_clear = obj(occlusion=0, truncation=0.0, y1=100, y2=160)   # 60px
+    g_occl = obj(occlusion=2, truncation=0.0, y1=100, y2=160)
+    g_trunc = obj(occlusion=0, truncation=0.4, y1=100, y2=160)
+    g_small = obj(occlusion=0, truncation=0.0, y1=100, y2=130)   # 30px
+    g_van = obj(occlusion=0, truncation=0.0, y1=100, y2=160)
+    g_van.type = "Van"
+    g_ped = obj(occlusion=0)
+    g_ped.type = "Pedestrian"
+    gts = [g_clear, g_occl, g_trunc, g_small, g_van, g_ped]
+    # easy: only the clear gt counts; occl/trunc/small/van ignored; ped -1
+    ig, dc, _, n_gt = ke.clean_data(0, gts, [], difficulty=0)
+    assert ig == [0, 1, 1, 1, 0 if False else 1, -1]
+    assert n_gt == 1
+    # hard: occ<=2, trunc<=0.5, height>=25 all pass
+    ig, _, _, n_gt = ke.clean_data(0, gts, [], difficulty=2)
+    assert ig == [0, 0, 0, 0, 1, -1]
+    assert n_gt == 4
+    # detection height gate
+    d_small = obj(y1=100, y2=130)
+    _, _, igd, _ = ke.clean_data(0, gts, [d_small], difficulty=0)
+    assert igd == [1]
+    _, _, igd, _ = ke.clean_data(0, gts, [d_small], difficulty=2)
+    assert igd == [0]
+
+
+def test_dontcare_suppresses_fp(tmp_path):
+    """A spurious detection inside a DontCare region must not count as FP
+    (image metric, criterion inter/det_area)."""
+    def build(with_dc):
+        frames = []
+        for f in range(6):
+            gts, dets = _spread_gt(7, seed=40 + f)
+            # spurious detection away from every gt
+            fp = obj(x1=1000.0, y1=100.0, x2=1080.0, y2=160.0, t1=100.0,
+                     t3=80.0)
+            fp.score = 0.995  # above all matched scores
+            dets = dets + [fp]
+            if with_dc:
+                dc = ke.Obj(type="DontCare", truncation=-1, occlusion=-1,
+                            alpha=-10, x1=990.0, y1=95.0, x2=1090.0,
+                            y2=165.0)
+                gts = gts + [dc]
+            frames.append((gts, dets))
+        return frames
+
+    gt_dir, res_dir = make_dirs(tmp_path / "with", build(True))
+    ap_with = ke.evaluate(gt_dir, res_dir)["car"]["image"]["easy"]["ap_r40"]
+    gt_dir, res_dir = make_dirs(tmp_path / "without", build(False))
+    ap_without = ke.evaluate(gt_dir, res_dir)["car"]["image"]["easy"]["ap_r40"]
+    assert ap_with == pytest.approx(100.0)
+    assert ap_without < ap_with
+
+
+@pytest.mark.skipif(not os.path.exists(CPP_BIN),
+                    reason="C++ evaluator not built")
+def test_cpp_matches_python(tmp_path):
+    """Randomized noisy scenario: C++ binary curves == Python curves."""
+    rng = np.random.RandomState(7)
+    frames = []
+    for f in range(8):
+        gts, dets = _spread_gt(6, seed=100 + f)
+        # perturb some detections: noise in box, orientation, misses, extras
+        kept = []
+        for i, d in enumerate(dets):
+            if rng.rand() < 0.15:
+                continue  # miss
+            d.x1 += rng.uniform(-15, 15)
+            d.y1 += rng.uniform(-8, 8)
+            d.x2 += rng.uniform(-15, 15)
+            d.y2 += rng.uniform(-8, 8)
+            d.t1 += rng.uniform(-0.6, 0.6)
+            d.t3 += rng.uniform(-0.6, 0.6)
+            d.ry += rng.uniform(-0.3, 0.3)
+            d.alpha += rng.uniform(-0.4, 0.4)
+            d.score = float(rng.uniform(0.3, 1.0))
+            kept.append(d)
+        # a couple of false positives
+        for _ in range(2):
+            fp = obj(x1=700 + rng.uniform(0, 200), y1=50,
+                     x2=950 + rng.uniform(0, 100), y2=110,
+                     t1=rng.uniform(-40, 40), t3=rng.uniform(30, 60))
+            fp.score = float(rng.uniform(0.3, 1.0))
+            kept.append(fp)
+        frames.append((gts, kept))
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+
+    py = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    out = subprocess.run([CPP_BIN, gt_dir, res_dir], capture_output=True,
+                         text=True, check=True)
+    # compare the stats files (written by the C++ binary) with python curves
+    for metric, suffix in (("image", "detection"),
+                           ("ground", "detection_ground"),
+                           ("3d", "detection_3d")):
+        path = os.path.join(res_dir, f"stats_car_{suffix}.txt")
+        rows = [list(map(float, line.split()))
+                for line in open(path).read().splitlines() if line.strip()]
+        for diff_idx, diff in enumerate(("easy", "moderate", "hard")):
+            np.testing.assert_allclose(
+                rows[diff_idx], py["car"][metric][diff]["precision"],
+                atol=1e-6, err_msg=f"{metric}/{diff}")
+    # AOS cross-check
+    path = os.path.join(res_dir, "stats_car_orientation.txt")
+    rows = [list(map(float, line.split()))
+            for line in open(path).read().splitlines() if line.strip()]
+    for diff_idx, diff in enumerate(("easy", "moderate", "hard")):
+        np.testing.assert_allclose(rows[diff_idx],
+                                   py["car"]["image"][diff]["aos"],
+                                   atol=1e-6)

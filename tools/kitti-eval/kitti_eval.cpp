@@ -1,0 +1,515 @@
+// KITTI object-detection evaluation (AP / AOS / AP_BEV / AP_3D).
+//
+// Self-contained C++ implementation of the official evaluation protocol
+// (behavioural spec: the vendored reference evaluator,
+// /root/reference/tools/kitti-eval/evaluate_object_3d_offline_r40.cpp).
+// No Boost: BEV rectangle intersection uses a Sutherland-Hodgman convex
+// clipper.  Prints both R40 and R11 AP summaries and writes the
+// stats_<class>_* files next to the results.
+//
+// Usage: ./evaluate_object_3d_offline <gt_dir> <result_dir>
+//   with detections under <result_dir>/data/*.txt.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <dirent.h>
+#include <numeric>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int N_CLASS = 3;
+const char *CLASS_NAMES[N_CLASS] = {"car", "pedestrian", "cyclist"};
+
+constexpr double MIN_HEIGHT[3] = {40.0, 25.0, 25.0};
+constexpr int MAX_OCCLUSION[3] = {0, 1, 2};
+constexpr double MAX_TRUNCATION[3] = {0.15, 0.3, 0.5};
+// rows: metric (image, ground, 3d); cols: class
+constexpr double MIN_OVERLAP[3][3] = {
+    {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}};
+constexpr int N_SAMPLE_PTS = 41;
+constexpr double NO_DETECTION = -10000000.0;
+
+enum Metric { IMAGE = 0, GROUND = 1, BOX3D = 2 };
+
+struct Obj {
+  std::string type;
+  double truncation = -1, alpha = -10;
+  int occlusion = -1;
+  double x1 = -1, y1 = -1, x2 = -1, y2 = -1;
+  double h = 0, w = 0, l = 0;
+  double t1 = -1000, t2 = -1000, t3 = -1000;
+  double ry = -10;
+  double score = -1000;
+};
+
+struct Frame {
+  std::vector<Obj> gt;
+  std::vector<Obj> det;
+};
+
+bool iequals(const std::string &a, const char *b) {
+  return strcasecmp(a.c_str(), b) == 0;
+}
+
+int class_index(const std::string &t) {
+  for (int c = 0; c < N_CLASS; ++c)
+    if (iequals(t, CLASS_NAMES[c])) return c;
+  return -1;
+}
+
+// ---------------------------------------------------------------- parsing
+
+bool load_file(const std::string &path, bool is_det, std::vector<Obj> *out,
+               bool *aos_valid) {
+  FILE *fp = fopen(path.c_str(), "r");
+  if (!fp) return false;
+  char type[256];
+  while (!feof(fp)) {
+    Obj o;
+    double occ, trunc;
+    int n;
+    if (is_det) {
+      n = fscanf(fp, "%255s %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf "
+                     "%lf %lf %lf",
+                 type, &trunc, &occ, &o.alpha, &o.x1, &o.y1, &o.x2, &o.y2,
+                 &o.h, &o.w, &o.l, &o.t1, &o.t2, &o.t3, &o.ry, &o.score);
+      if (n != 16) continue;
+    } else {
+      n = fscanf(fp, "%255s %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %lf "
+                     "%lf %lf",
+                 type, &trunc, &occ, &o.alpha, &o.x1, &o.y1, &o.x2, &o.y2,
+                 &o.h, &o.w, &o.l, &o.t1, &o.t2, &o.t3, &o.ry);
+      if (n != 15) continue;
+    }
+    o.type = type;
+    o.truncation = trunc;
+    o.occlusion = static_cast<int>(occ);
+    if (is_det && o.alpha == -10 && aos_valid) *aos_valid = false;
+    out->push_back(o);
+  }
+  fclose(fp);
+  return true;
+}
+
+// ---------------------------------------------------------------- overlaps
+
+double image_overlap(const Obj &a, const Obj &b, int criterion) {
+  double x1 = std::max(a.x1, b.x1), y1 = std::max(a.y1, b.y1);
+  double x2 = std::min(a.x2, b.x2), y2 = std::min(a.y2, b.y2);
+  double w = x2 - x1, h = y2 - y1;
+  if (w <= 0 || h <= 0) return 0.0;
+  double inter = w * h;
+  double a_area = (a.x2 - a.x1) * (a.y2 - a.y1);
+  double b_area = (b.x2 - b.x1) * (b.y2 - b.y1);
+  if (criterion == 0) return inter / a_area;
+  if (criterion == 1) return inter / b_area;
+  return inter / (a_area + b_area - inter);
+}
+
+struct Pt {
+  double x, z;
+};
+
+void bev_corners(const Obj &o, Pt out[4]) {
+  const double c = std::cos(o.ry), s = std::sin(o.ry);
+  const double xs[4] = {o.l / 2, o.l / 2, -o.l / 2, -o.l / 2};
+  const double zs[4] = {o.w / 2, -o.w / 2, -o.w / 2, o.w / 2};
+  for (int i = 0; i < 4; ++i) {
+    out[i].x = c * xs[i] + s * zs[i] + o.t1;
+    out[i].z = -s * xs[i] + c * zs[i] + o.t3;
+  }
+}
+
+double polygon_area(const std::vector<Pt> &p) {
+  if (p.size() < 3) return 0.0;
+  double acc = 0;
+  for (size_t i = 0; i < p.size(); ++i) {
+    const Pt &u = p[i];
+    const Pt &v = p[(i + 1) % p.size()];
+    acc += u.x * v.z - u.z * v.x;
+  }
+  return std::fabs(acc) * 0.5;
+}
+
+double signed_area2(const Pt p[4]) {
+  double acc = 0;
+  for (int i = 0; i < 4; ++i) {
+    const Pt &u = p[i];
+    const Pt &v = p[(i + 1) % 4];
+    acc += u.x * v.z - u.z * v.x;
+  }
+  return acc;
+}
+
+// Sutherland-Hodgman: clip convex quad `subject` by convex quad `clip`.
+double quad_intersection_area(const Pt subject[4], Pt clip[4]) {
+  if (signed_area2(clip) < 0) std::swap(clip[0], clip[3]), std::swap(clip[1], clip[2]);
+  std::vector<Pt> output(subject, subject + 4);
+  for (int i = 0; i < 4 && !output.empty(); ++i) {
+    const Pt a = clip[i];
+    const Pt b = clip[(i + 1) % 4];
+    std::vector<Pt> input;
+    input.swap(output);
+    auto inside = [&](const Pt &p) {
+      return (b.x - a.x) * (p.z - a.z) - (b.z - a.z) * (p.x - a.x) >= 0;
+    };
+    auto intersect = [&](const Pt &p, const Pt &q) {
+      double dx1 = q.x - p.x, dz1 = q.z - p.z;
+      double dx2 = b.x - a.x, dz2 = b.z - a.z;
+      double denom = dx1 * dz2 - dz1 * dx2;
+      if (denom == 0) return q;
+      double t = ((a.x - p.x) * dz2 - (a.z - p.z) * dx2) / denom;
+      return Pt{p.x + t * dx1, p.z + t * dz1};
+    };
+    Pt s = input.back();
+    for (const Pt &e : input) {
+      if (inside(e)) {
+        if (!inside(s)) output.push_back(intersect(s, e));
+        output.push_back(e);
+      } else if (inside(s)) {
+        output.push_back(intersect(s, e));
+      }
+      s = e;
+    }
+  }
+  return polygon_area(output);
+}
+
+double bev_intersection(const Obj &a, const Obj &b) {
+  Pt pa[4], pb[4];
+  bev_corners(a, pa);
+  bev_corners(b, pb);
+  return quad_intersection_area(pa, pb);
+}
+
+double ground_overlap(const Obj &a, const Obj &b, int criterion) {
+  double inter = bev_intersection(a, b);
+  double a_area = a.l * a.w, b_area = b.l * b.w;
+  if (criterion == 0) return a_area > 0 ? inter / a_area : 0.0;
+  if (criterion == 1) return b_area > 0 ? inter / b_area : 0.0;
+  double uni = a_area + b_area - inter;
+  return uni > 0 ? inter / uni : 0.0;
+}
+
+double box3d_overlap(const Obj &a, const Obj &b, int criterion) {
+  double inter_area = bev_intersection(a, b);
+  double ymax = std::min(a.t2, b.t2);
+  double ymin = std::max(a.t2 - a.h, b.t2 - b.h);
+  double inter = inter_area * std::max(0.0, ymax - ymin);
+  double a_vol = a.h * a.l * a.w, b_vol = b.h * b.l * b.w;
+  if (criterion == 0) return a_vol > 0 ? inter / a_vol : 0.0;
+  if (criterion == 1) return b_vol > 0 ? inter / b_vol : 0.0;
+  double uni = a_vol + b_vol - inter;
+  return uni > 0 ? inter / uni : 0.0;
+}
+
+double overlap(Metric m, const Obj &det, const Obj &gt, int criterion) {
+  switch (m) {
+    case IMAGE: return image_overlap(det, gt, criterion);
+    case GROUND: return ground_overlap(det, gt, criterion);
+    default: return box3d_overlap(det, gt, criterion);
+  }
+}
+
+// ---------------------------------------------------------------- protocol
+
+struct Cleaned {
+  std::vector<int> ignored_gt;   // 0 eval, 1 ignore, -1 other class
+  std::vector<int> ignored_det;
+  std::vector<Obj> dontcare;
+  int n_gt = 0;
+};
+
+Cleaned clean_data(int cls, const Frame &f, int difficulty) {
+  Cleaned c;
+  for (const Obj &g : f.gt) {
+    int valid;
+    if (iequals(g.type, CLASS_NAMES[cls]))
+      valid = 1;
+    else if (cls == 1 /*pedestrian*/ && iequals(g.type, "Person_sitting"))
+      valid = 0;
+    else if (cls == 0 /*car*/ && iequals(g.type, "Van"))
+      valid = 0;
+    else
+      valid = -1;
+    bool ignore = g.occlusion > MAX_OCCLUSION[difficulty] ||
+                  g.truncation > MAX_TRUNCATION[difficulty] ||
+                  (g.y2 - g.y1) < MIN_HEIGHT[difficulty];
+    if (valid == 1 && !ignore) {
+      c.ignored_gt.push_back(0);
+      c.n_gt++;
+    } else if (valid == 0 || (ignore && valid == 1)) {
+      c.ignored_gt.push_back(1);
+    } else {
+      c.ignored_gt.push_back(-1);
+    }
+    if (iequals(g.type, "DontCare")) c.dontcare.push_back(g);
+  }
+  for (const Obj &d : f.det) {
+    int height = static_cast<int>(std::fabs(d.y1 - d.y2));
+    if (height < MIN_HEIGHT[difficulty])
+      c.ignored_det.push_back(1);
+    else if (iequals(d.type, CLASS_NAMES[cls]))
+      c.ignored_det.push_back(0);
+    else
+      c.ignored_det.push_back(-1);
+  }
+  return c;
+}
+
+struct Stat {
+  int tp = 0, fp = 0, fn = 0;
+  double similarity = 0;
+  std::vector<double> scores;
+};
+
+Stat compute_statistics(int cls, const Frame &f, const Cleaned &c,
+                        bool compute_fp, Metric metric, bool compute_aos,
+                        double thresh) {
+  Stat st;
+  const double min_ov = MIN_OVERLAP[metric][cls];
+  std::vector<bool> assigned(f.det.size(), false);
+  std::vector<bool> below(f.det.size(), false);
+  std::vector<double> delta;
+  if (compute_fp)
+    for (size_t j = 0; j < f.det.size(); ++j)
+      if (f.det[j].score < thresh) below[j] = true;
+
+  for (size_t i = 0; i < f.gt.size(); ++i) {
+    if (c.ignored_gt[i] == -1) continue;
+    int det_idx = -1;
+    double valid_detection = NO_DETECTION;
+    double max_overlap = 0;
+    bool assigned_ignored_det = false;
+    for (size_t j = 0; j < f.det.size(); ++j) {
+      if (c.ignored_det[j] == -1 || assigned[j] || below[j]) continue;
+      double ov = overlap(metric, f.det[j], f.gt[i], -1);
+      if (!compute_fp && ov > min_ov && f.det[j].score > valid_detection) {
+        det_idx = static_cast<int>(j);
+        valid_detection = f.det[j].score;
+      } else if (compute_fp && ov > min_ov &&
+                 (ov > max_overlap || assigned_ignored_det) &&
+                 c.ignored_det[j] == 0) {
+        max_overlap = ov;
+        det_idx = static_cast<int>(j);
+        valid_detection = 1;
+        assigned_ignored_det = false;
+      } else if (compute_fp && ov > min_ov &&
+                 valid_detection == NO_DETECTION && c.ignored_det[j] == 1) {
+        det_idx = static_cast<int>(j);
+        valid_detection = 1;
+        assigned_ignored_det = true;
+      }
+    }
+    if (valid_detection == NO_DETECTION && c.ignored_gt[i] == 0) {
+      st.fn++;
+    } else if (valid_detection != NO_DETECTION &&
+               (c.ignored_gt[i] == 1 || c.ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = true;
+    } else if (valid_detection != NO_DETECTION) {
+      st.tp++;
+      st.scores.push_back(f.det[det_idx].score);
+      if (compute_aos) delta.push_back(f.gt[i].alpha - f.det[det_idx].alpha);
+      assigned[det_idx] = true;
+    }
+  }
+
+  if (compute_fp) {
+    for (size_t j = 0; j < f.det.size(); ++j)
+      if (!(assigned[j] || c.ignored_det[j] == -1 || c.ignored_det[j] == 1 ||
+            below[j]))
+        st.fp++;
+    int nstuff = 0;
+    for (const Obj &dc : c.dontcare) {
+      for (size_t j = 0; j < f.det.size(); ++j) {
+        if (assigned[j] || c.ignored_det[j] == -1 || c.ignored_det[j] == 1 ||
+            below[j])
+          continue;
+        if (overlap(metric, f.det[j], dc, 0) > min_ov) {
+          assigned[j] = true;
+          nstuff++;
+        }
+      }
+    }
+    st.fp -= nstuff;
+    if (compute_aos) {
+      double acc = 0;
+      for (double dl : delta) acc += (1.0 + std::cos(dl)) / 2.0;
+      st.similarity = (st.tp > 0 || st.fp > 0) ? acc : -1;
+    }
+  }
+  return st;
+}
+
+std::vector<double> get_thresholds(std::vector<double> scores, int n_gt) {
+  std::vector<double> t;
+  std::sort(scores.begin(), scores.end(), std::greater<double>());
+  double current_recall = 0;
+  for (size_t i = 0; i < scores.size(); ++i) {
+    double l_recall = static_cast<double>(i + 1) / n_gt;
+    double r_recall =
+        i < scores.size() - 1 ? static_cast<double>(i + 2) / n_gt : l_recall;
+    if ((r_recall - current_recall) < (current_recall - l_recall) &&
+        i < scores.size() - 1)
+      continue;
+    t.push_back(scores[i]);
+    current_recall += 1.0 / (N_SAMPLE_PTS - 1.0);
+  }
+  return t;
+}
+
+void eval_class(const std::vector<Frame> &frames, int cls, int difficulty,
+                Metric metric, bool compute_aos,
+                std::vector<double> *precision, std::vector<double> *aos) {
+  int n_gt = 0;
+  std::vector<double> scores;
+  std::vector<Cleaned> cleaned;
+  cleaned.reserve(frames.size());
+  for (const Frame &f : frames) {
+    cleaned.push_back(clean_data(cls, f, difficulty));
+    n_gt += cleaned.back().n_gt;
+    Stat st = compute_statistics(cls, f, cleaned.back(), false, metric,
+                                 false, 0);
+    scores.insert(scores.end(), st.scores.begin(), st.scores.end());
+  }
+  std::vector<double> thresholds = get_thresholds(scores, n_gt);
+  std::vector<Stat> agg(thresholds.size());
+  for (size_t i = 0; i < frames.size(); ++i) {
+    for (size_t t = 0; t < thresholds.size(); ++t) {
+      Stat st = compute_statistics(cls, frames[i], cleaned[i], true, metric,
+                                   compute_aos, thresholds[t]);
+      agg[t].tp += st.tp;
+      agg[t].fp += st.fp;
+      agg[t].fn += st.fn;
+      if (st.similarity != -1) agg[t].similarity += st.similarity;
+    }
+  }
+  precision->assign(N_SAMPLE_PTS, 0.0);
+  if (compute_aos) aos->assign(N_SAMPLE_PTS, 0.0);
+  for (size_t i = 0; i < thresholds.size(); ++i) {
+    double denom = agg[i].tp + agg[i].fp;
+    (*precision)[i] = denom > 0 ? agg[i].tp / denom : 0.0;
+    if (compute_aos) (*aos)[i] = denom > 0 ? agg[i].similarity / denom : 0.0;
+  }
+  for (size_t i = 0; i < thresholds.size(); ++i) {
+    (*precision)[i] =
+        *std::max_element(precision->begin() + i, precision->end());
+    if (compute_aos)
+      (*aos)[i] = *std::max_element(aos->begin() + i, aos->end());
+  }
+}
+
+void save_rows(FILE *fp, const std::vector<double> &row) {
+  for (double v : row) fprintf(fp, "%f ", v);
+  fprintf(fp, "\n");
+}
+
+void report(const char *label, std::vector<double> curves[3]) {
+  double r40[3] = {0, 0, 0}, r11[3] = {0, 0, 0};
+  for (int d = 0; d < 3; ++d) {
+    for (size_t i = 1; i < curves[d].size(); ++i) r40[d] += curves[d][i];
+    for (size_t i = 0; i < curves[d].size(); i += 4) r11[d] += curves[d][i];
+  }
+  printf("%s AP: %f %f %f\n", label, r40[0] / 40 * 100, r40[1] / 40 * 100,
+         r40[2] / 40 * 100);
+  printf("%s AP_R11: %f %f %f\n", label, r11[0] / 11 * 100,
+         r11[1] / 11 * 100, r11[2] / 11 * 100);
+}
+
+}  // namespace
+
+int main(int argc, char **argv) {
+  if (argc != 3) {
+    fprintf(stderr, "Usage: %s <gt_dir> <result_dir>\n", argv[0]);
+    return 1;
+  }
+  std::string gt_dir = argv[1];
+  std::string result_dir = argv[2];
+  std::string data_dir = result_dir + "/data";
+
+  std::vector<std::string> names;
+  if (DIR *dir = opendir(data_dir.c_str())) {
+    while (dirent *e = readdir(dir)) {
+      std::string n(e->d_name);
+      if (n.size() > 4 && n.substr(n.size() - 4) == ".txt")
+        names.push_back(n);
+    }
+    closedir(dir);
+  } else {
+    fprintf(stderr, "cannot open %s\n", data_dir.c_str());
+    return 1;
+  }
+  std::sort(names.begin(), names.end());
+  printf("number of files for evaluation: %d\n",
+         static_cast<int>(names.size()));
+
+  bool compute_aos = true;
+  bool eval_image_cls[N_CLASS] = {false, false, false};
+  bool eval_ground_cls[N_CLASS] = {false, false, false};
+  bool eval_3d_cls[N_CLASS] = {false, false, false};
+  std::vector<Frame> frames;
+  frames.reserve(names.size());
+  for (const std::string &n : names) {
+    Frame f;
+    if (!load_file(gt_dir + "/" + n, false, &f.gt, nullptr)) {
+      fprintf(stderr, "ERROR: couldn't read ground truth %s\n", n.c_str());
+      return 1;
+    }
+    if (!load_file(data_dir + "/" + n, true, &f.det, &compute_aos)) {
+      fprintf(stderr, "ERROR: couldn't read %s\n", n.c_str());
+      return 1;
+    }
+    for (const Obj &d : f.det) {
+      int c = class_index(d.type);
+      if (c < 0) continue;
+      if (d.x1 >= 0) eval_image_cls[c] = true;
+      if (d.t1 != -1000) eval_ground_cls[c] = true;
+      if (d.t2 != -1000) eval_3d_cls[c] = true;
+    }
+    frames.push_back(std::move(f));
+  }
+
+  struct Task {
+    Metric metric;
+    const char *suffix;
+    bool *flags;
+  };
+  Task tasks[3] = {{IMAGE, "detection", eval_image_cls},
+                   {GROUND, "detection_ground", eval_ground_cls},
+                   {BOX3D, "detection_3d", eval_3d_cls}};
+
+  for (const Task &task : tasks) {
+    for (int c = 0; c < N_CLASS; ++c) {
+      if (!task.flags[c]) continue;
+      bool with_aos = compute_aos && task.metric == IMAGE;
+      std::vector<double> precision[3], aos[3];
+      for (int d = 0; d < 3; ++d)
+        eval_class(frames, c, d, task.metric, with_aos, &precision[d],
+                   &aos[d]);
+      std::string stats = result_dir + "/stats_" + CLASS_NAMES[c] + "_" +
+                          task.suffix + ".txt";
+      if (FILE *fp = fopen(stats.c_str(), "w")) {
+        for (int d = 0; d < 3; ++d) save_rows(fp, precision[d]);
+        fclose(fp);
+      }
+      std::string label = std::string(CLASS_NAMES[c]) + "_" + task.suffix;
+      report(label.c_str(), precision);
+      if (with_aos) {
+        std::string ostats =
+            result_dir + "/stats_" + CLASS_NAMES[c] + "_orientation.txt";
+        if (FILE *fp = fopen(ostats.c_str(), "w")) {
+          for (int d = 0; d < 3; ++d) save_rows(fp, aos[d]);
+          fclose(fp);
+        }
+        std::string olabel = std::string(CLASS_NAMES[c]) + "_orientation";
+        report(olabel.c_str(), aos);
+      }
+    }
+  }
+  return 0;
+}
