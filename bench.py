@@ -65,11 +65,12 @@ def main():
 
     for _ in range(warmup):
         jax.block_until_ready(run())
-    # pipelined dispatch: enqueue all iterations, block once — measures
-    # device throughput with host/tunnel latency overlapped
+    # synchronous per-call timing: on the tunneled platform,
+    # block_until_ready returns early for queued work, so pipelined
+    # dispatch measurements are unreliable — block every call
     t0 = time.perf_counter()
-    outs = [run() for _ in range(iters)]
-    jax.block_until_ready(outs[-1])
+    for _ in range(iters):
+        jax.block_until_ready(run())
     dt = (time.perf_counter() - t0) / iters
     crops_per_sec = batch / dt
 
