@@ -286,9 +286,42 @@ class KITTIDataset:
             self.records = self._prepare_instance_records(cfgs)
         elif self.exp_type == "2dto3d":
             self._prepare_lifting_pairs(cfgs)
+        elif self.exp_type == "finetune":
+            self.annot_dict = self.gather_annotations(
+                add_gt=True, filter_outlier=True, use_raw_bbox=False)
+            self.image_names = list(self.annot_dict.keys())
+            self.records = self._finetune_records()
         else:
             raise NotImplementedError(self.exp_type)
+
+        # optional weak self-supervision from unlabeled images
+        self.ss_record = None
+        if cfgs.get("ss", {}).get("flag"):
+            self.ss_record = np.load(cfgs["ss"]["record_path"],
+                                     allow_pickle=True).item()
+            self.ss_img_root = cfgs["ss"]["img_root"]
+            self.ss_max_per_img = int(cfgs["ss"].get("max_per_img", 6))
         self._log(f"KITTI {split} set ready")
+
+    def _finetune_records(self) -> list:
+        """Per-image records for end-to-end finetuning: GT keypoints, boxes
+        derived from projected cuboids, 3D targets and intrinsics
+        (reference prepare_ft_dict, car_instance.py:1171-1215)."""
+        records = []
+        for name in self.image_names:
+            rec = self.annot_dict[name]
+            if "kpts" not in rec:
+                continue
+            records.append({
+                "path": self.paths.image_path(name),
+                "boxes": rec["bbox_2d"],
+                "kpts": rec["kpts"][:, :, :2],
+                "kpts_vis": rec["kpts"][:, :, 2],
+                "kpts_3d": rec["kpts_3d_gt"],
+                "K": rec["K"],
+                "pose_vecs": rec.get("pose_vecs_gt"),
+            })
+        return records
 
     def _log(self, msg):
         if self.logger is not None:
@@ -297,7 +330,8 @@ class KITTIDataset:
     # -------------------- inference --------------------
 
     def gather_annotations(self, add_gt: bool = True,
-                           filter_outlier: bool = False) -> dict:
+                           filter_outlier: bool = False,
+                           use_raw_bbox: bool = True) -> dict:
         records = {}
         for name in self.paths.image_names():
             if self.split == "test":
@@ -306,7 +340,7 @@ class KITTIDataset:
             rec = self.read_single_file(
                 name, self.paths.label_path(name),
                 fieldnames=FIELDNAMES, add_gt=add_gt,
-                use_raw_bbox=True, filter_outlier=filter_outlier)
+                use_raw_bbox=use_raw_bbox, filter_outlier=filter_outlier)
             if rec is not None:
                 records[name] = rec
         return records

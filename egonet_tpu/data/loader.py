@@ -51,10 +51,16 @@ class IGRBatchLoader:
 
     def __init__(self, records, cfgs: dict, train: bool,
                  canvas_hw=(384, 1280), max_instances: int = MAX_INS_CNT,
-                 seed: int = 0):
+                 seed: int = 0, ss_record=None, ss_img_root: str = "",
+                 ss_max_per_img: int = 6):
         self.records = records
         self.cfgs = cfgs
         self.train = train
+        # weak self-supervision source (unlabeled boxes; reference
+        # extract_ss_sample, car_instance.py:1145-1169)
+        self.ss_record = ss_record if train else None
+        self.ss_img_root = ss_img_root
+        self.ss_max_per_img = int(ss_max_per_img)
         self.canvas_hw = canvas_hw
         self.max_instances = int(max_instances)
         hm = cfgs["heatmapModel"]
@@ -95,6 +101,7 @@ class IGRBatchLoader:
         b = len(chunk)
         images = np.zeros((b, hc, wc, 3), np.uint8)
         inv_mats, img_idx, joints_local = [], [], []
+        centers, scales, orig_joints = [], [], []
         for i, rec in enumerate(chunk):
             img = self._load(rec["path"])
             h, w = img.shape[:2]
@@ -116,14 +123,20 @@ class IGRBatchLoader:
                 joints_local.append(np.hstack([local, vis])[None])
                 inv_mats.append(inv[None])
                 img_idx.append(i)
+                centers.append(c)
+                scales.append(s)
+                orig_joints.append(kpts[:, :2][None])
 
         m = len(img_idx)
         cap = self.max_instances
         if m > cap:
-            chosen = self.rng.choice(m, cap, replace=False)
+            chosen = list(self.rng.choice(m, cap, replace=False))
             inv_mats = [inv_mats[c] for c in chosen]
             joints_local = [joints_local[c] for c in chosen]
             img_idx = [img_idx[c] for c in chosen]
+            centers = [centers[c] for c in chosen]
+            scales = [scales[c] for c in chosen]
+            orig_joints = [orig_joints[c] for c in chosen]
             m = cap
         pad = cap - m
         k = joints_local[0].shape[1] if joints_local else 33
@@ -141,6 +154,58 @@ class IGRBatchLoader:
             "mask": np.concatenate(
                 [np.ones(m, np.float32), np.zeros(pad, np.float32)]),
         }
+        # host-side metadata for metric evaluation (not shipped to device)
+        batch["meta"] = {
+            "center": np.array(centers) if m else np.zeros((0, 2)),
+            "scale": np.array(scales) if m else np.zeros((0, 2)),
+            "original_joints": (np.concatenate(orig_joints)
+                                if m else np.zeros((0, k, 2))),
+            "count": m,
+        }
+        batch["sup_mask"] = batch["mask"].copy()
+        if self.ss_record is not None:
+            batch = self._append_ss_instances(batch, chunk)
+        return batch
+
+    def _append_ss_instances(self, batch, chunk):
+        """Fill padding slots with unlabeled crops from ONE extra canvas
+        image (static shapes: the extra image slot exists whenever ss is
+        enabled).  The crops train only the self-supervised cross-ratio
+        term (mask=1, sup_mask=0)."""
+        import os
+        width, height = self.input_size
+        hc, wc = batch["images"].shape[1:3]
+        # one reserved canvas slot for the ss source image
+        batch["images"] = np.concatenate(
+            [batch["images"], np.zeros((1, hc, wc, 3), np.uint8)])
+        img_slot = len(batch["images"]) - 1
+
+        m = int(batch["mask"].sum())
+        budget = max(0, self.ss_max_per_img * len(chunk) - m)
+        take = min(budget, len(batch["mask"]) - m)
+        if take <= 0:
+            return batch
+        paths = self.ss_record["paths"]
+        i = self.rng.randint(0, len(paths))
+        img_path = os.path.join(self.ss_img_root,
+                                os.path.basename(paths[i])) \
+            if self.ss_img_root else paths[i]
+        try:
+            img = self._load(img_path)
+        except (ValueError, FileNotFoundError):
+            return batch
+        h, w = img.shape[:2]
+        batch["images"][img_slot, :min(h, hc), :min(w, wc)] = img[:hc, :wc]
+        for n, bbox in enumerate(self.ss_record["boxes"][i][:take]):
+            ret = affine.resize_bbox(bbox[0], bbox[1], bbox[2], bbox[3],
+                                     target_ar=self.target_ar)
+            inv = affine.get_affine_transform(
+                ret["c"], ret["s"], 0.0, (height, width), inv=True)
+            idx = m + n
+            batch["inv_mats"][idx] = inv.astype(np.float32)
+            batch["img_idx"][idx] = img_slot
+            batch["mask"][idx] = 1.0
+            batch["sup_mask"][idx] = 0.0
         return batch
 
     def epoch(self, shuffle: bool | None = None):

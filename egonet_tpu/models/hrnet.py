@@ -277,7 +277,9 @@ class PoseHighResolutionNet(nn.Module):
         for b in range(1, 5):
             h = self._basic_block(h, ch, 2, f"head.{b}", train,
                                   force_downsample=True)
-        h = nn.avg_pool(h, (4, 4), strides=(4, 4))
+        # the reference AvgPool2d(4) assumes the remaining 4x4 map (input
+        # 256); global mean is identical there and well-defined elsewhere
+        h = jnp.mean(h, axis=(1, 2))
         h = h.reshape(h.shape[0], -1).astype(jnp.float32)
         h = nn.Dense(256, dtype=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST, name="final_fc.0")(h)

@@ -54,6 +54,7 @@ class IGRTrainer:
         self.tx, self.schedule = optim.prepare_optim(cfgs, steps_per_epoch)
         self._train_step = None
         self._eval_step = None
+        self._crop_fn = None
 
     # ------------------------------------------------------------------
 
@@ -66,6 +67,9 @@ class IGRTrainer:
                                    jnp.zeros((1, h, w, in_ch)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        freeze = self.cfgs["heatmapModel"]["extra"].get("freeze_layers", [])
+        if freeze:
+            self.tx = optim.apply_freezing(self.tx, params, freeze)
         opt_state = self.tx.init(params)
         state = TrainState(params, batch_stats, opt_state,
                            jnp.zeros((), jnp.int32))
@@ -99,7 +103,8 @@ class IGRTrainer:
             (h, w), self.sigma)
         total, comps = losses.composite_loss(
             outputs, targets, joints[..., :2], self.loss_cfg,
-            mask=batch["mask"], apply_cr=apply_cr)
+            mask=batch["mask"], apply_cr=apply_cr,
+            sup_mask=batch.get("sup_mask"))
         return total, (new_state["batch_stats"], comps)
 
     def _make_train_step(self):
@@ -143,6 +148,7 @@ class IGRTrainer:
         return self._eval_step(state, batch)
 
     def _device_batch(self, batch):
+        batch = {k: v for k, v in batch.items() if k != "meta"}
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         out = {}
@@ -157,14 +163,75 @@ class IGRTrainer:
 
     # ------------------------------------------------------------------
 
+    def evaluate(self, state, records, metrics=None):
+        """Run validation metrics over a record set (reference
+        trainer.evaluate, trainer.py:395-514)."""
+        from egonet_tpu.train.metrics import Evaluator
+        metrics = metrics or self.cfgs.get("testing_settings", {}).get(
+            "eval_metrics", ["JointDistance2DSIP"])
+        evaluator = Evaluator(metrics, cfgs=self.cfgs,
+                              num_joints=self.cfgs["heatmapModel"]
+                              ["num_joints"])
+        loader = IGRBatchLoader(records, self.cfgs, train=False)
+        for batch in loader.epoch(shuffle=False):
+            meta = batch["meta"]
+            out = self.eval_step(state, batch)
+            m = meta["count"]
+            coords = np.asarray(out["coords"])[:m]
+            evaluator.update((np.asarray(out["maps"])[:m], coords),
+                             meta_data=meta, logger=self.logger)
+        if self.logger:
+            evaluator.report(self.logger)
+        return evaluator
+
+    def save_snapshot(self, state, path_prefix: str):
+        """Save a native + torch-compatible checkpoint pair."""
+        from egonet_tpu.io import checkpoint
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        checkpoint.save_variables(path_prefix + ".msgpack", variables)
+        checkpoint.save_torch_state_dict(path_prefix + ".pth", variables)
+
+    def debug_dump(self, state, batch, prefix: str):
+        """Write keypoint/heatmap debug grids for one batch (reference
+        save_debug_images, visualization/debug.py:151-189)."""
+        from egonet_tpu.visualization import debug as vdbg
+        from egonet_tpu.ops.keypoints import gaussian_targets
+        if self._crop_fn is None:
+            self._crop_fn = jax.jit(self._crops_from_batch)
+        device_batch = self._device_batch(batch)
+        crops = np.asarray(self._crop_fn(device_batch))
+        out = self.eval_step(state, batch)
+        m = batch["meta"]["count"]
+        w, h = self.input_size
+        coords = np.asarray(out["coords"])[:m] * np.array([w, h])
+        joints = batch["joints"][:m]
+        targets, _ = gaussian_targets(
+            jnp.asarray(joints[..., :2]), jnp.asarray(joints[..., 2]),
+            (self.heatmap_size[1], self.heatmap_size[0]), (h, w), self.sigma)
+        return vdbg.save_debug_images(
+            self.cfgs, crops[:m], joints, coords, np.asarray(targets),
+            np.asarray(out["maps"])[:m], prefix)
+
     def fit(self, train_records, valid_records=None, epochs=None,
-            seed: int = 0, report_every: int = 30, eval_hook=None):
-        """Full training loop mirroring the reference epoch structure."""
+            seed: int = 0, report_every: int | None = None, eval_hook=None,
+            snapshot_dir: str | None = None, state=None,
+            ss_record=None, ss_img_root: str = "", ss_max_per_img: int = 6):
+        """Full training loop mirroring the reference epoch structure
+        (trainer.py:127-263): per-epoch loader, cross-ratio after epoch 1,
+        periodic logging, optional mid-training evaluation and epoch
+        snapshots."""
         settings = self.cfgs.get("training_settings", {})
         epochs = epochs or int(settings.get("total_epochs", 1))
+        report_every = report_every or int(settings.get("report_every", 30))
+        eval_during = bool(settings.get("eval_during", False))
+        snapshot_epochs = set(settings.get("snapshot_epochs", []))
         loader = IGRBatchLoader(train_records, self.cfgs, train=True,
-                                seed=seed)
-        state = self.init_state(seed)
+                                seed=seed, ss_record=ss_record,
+                                ss_img_root=ss_img_root,
+                                ss_max_per_img=ss_max_per_img)
+        if state is None:
+            state = self.init_state(seed)
         history = []
         for epoch in range(epochs):
             # cross-ratio loss switches on after the first epoch
@@ -188,6 +255,11 @@ class IGRTrainer:
                 self.logger.info(
                     f"epoch {epoch} done: loss "
                     f"{history[-1]['loss']:.5f} ({dt:.1f}s)")
+            if eval_during and valid_records:
+                self.evaluate(state, valid_records)
+            if snapshot_dir and (epoch + 1) in snapshot_epochs:
+                self.save_snapshot(state,
+                                   f"{snapshot_dir}/HC_epoch{epoch + 1}")
             if eval_hook is not None:
                 eval_hook(self, state, epoch)
         return state, history

@@ -127,23 +127,30 @@ class CompositeLossConfig:
 
 
 def composite_loss(outputs, targets, joints_gt, cfg: CompositeLossConfig,
-                   mask=None, target_weight=None, apply_cr: bool = False):
+                   mask=None, target_weight=None, apply_cr: bool = False,
+                   sup_mask=None):
     """Full composite loss for the 'coordinates' head.
 
     outputs: (heatmaps [N,K,H,W], coords [N,K,2]) tuple from HRNet.
     targets: gaussian heatmaps [N,K,H,W]; joints_gt: [N,K,2] local pixels.
+    mask gates padding for every term; sup_mask (defaults to mask)
+    additionally gates the supervised terms so self-supervised (unlabeled)
+    instances contribute only to the cross-ratio prior
+    (reference function.py:177-201 handles the extra ss instances).
     Returns (total, dict of components).
     """
     heatmaps_pred, coords_pred = outputs
+    if sup_mask is None:
+        sup_mask = mask
     comps = {}
     total = 0.0
     if cfg.use_hm:
-        comps["hm"] = heatmap_mse_loss(heatmaps_pred, targets, mask,
+        comps["hm"] = heatmap_mse_loss(heatmaps_pred, targets, sup_mask,
                                        target_weight)
         total = total + cfg.w_hm * comps["hm"]
     if cfg.use_coor:
         comps["coor"] = coordinate_l1_loss(coords_pred, joints_gt,
-                                           cfg.input_size, mask)
+                                           cfg.input_size, sup_mask)
         total = total + cfg.w_coor * comps["coor"]
     if cfg.use_cr and apply_cr:
         comps["cr"] = cross_ratio_loss(coords_pred, cfg.target_cr,

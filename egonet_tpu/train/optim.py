@@ -1,7 +1,10 @@
-"""Optimizer construction: Adam/SGD + multi-step LR decay via optax.
+"""Optimizer construction: Adam/SGD + multi-step LR decay via optax,
+plus prefix-based parameter freezing.
 
 Spec: /root/reference/libs/optimizer/optimizer.py:9-41 (torch Adam/SGD with
-MultiStepLR stepping once per epoch).
+MultiStepLR stepping once per epoch); layer freezing mirrors
+hrnet.py:669-686 (named parameters whose name starts with a configured
+prefix receive no updates).
 """
 
 from __future__ import annotations
@@ -14,6 +17,42 @@ def multistep_schedule(base_lr: float, milestones, gamma: float,
     """MultiStepLR: lr *= gamma at each milestone epoch."""
     boundaries = {int(m) * int(steps_per_epoch): gamma for m in milestones}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def is_frozen(name: str, freeze_names) -> bool:
+    return any(name.startswith(prefix) for prefix in freeze_names)
+
+
+def freeze_mask(params, freeze_names):
+    """Pytree of bools: True = trainable.  Top-level module names in our
+    models are the torch key prefixes, so reference freeze lists apply
+    directly."""
+    import jax
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for path, _ in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", "")))
+                        for p in path)
+        leaves.append(not is_frozen(name, freeze_names))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def apply_freezing(tx, params, freeze_names):
+    """Wrap an optax transform so frozen parameters receive zero updates.
+
+    optax.masked passes un-masked leaves through unchanged, so freezing is
+    the composition: zero the frozen gradients, then run the optimizer on
+    the trainable subset only.
+    """
+    if not freeze_names:
+        return tx
+    import jax
+    trainable = freeze_mask(params, freeze_names)
+    frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),
+        optax.masked(tx, trainable),
+    )
 
 
 def prepare_optim(cfgs: dict, steps_per_epoch: int = 1):

@@ -1,0 +1,136 @@
+"""Training-stack tests: one real step of both trainers, layer freezing,
+eval-during-training, summary."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.config import default_demo_config, load_config
+from egonet_tpu.data import kitti
+from egonet_tpu.train import optim
+from tests import fixtures
+
+
+def small_train_cfg(root):
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
+    cfg["dataset"]["root"] = root
+    extra = cfg["heatmapModel"]["extra"]
+    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
+    extra["stage3"].update({"num_channels": [8, 16, 32],
+                            "num_blocks": [1, 1, 1], "num_modules": 1})
+    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
+                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
+    cfg["heatmapModel"]["input_size"] = [64, 64]
+    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
+    cfg["heatmapModel"]["pretrained"] = ""
+    cfg["training_settings"]["batch_size"] = 1
+    cfg["training_settings"]["total_epochs"] = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    root, _ = fixtures.make_kitti_root(tmp, n_images=2)
+    return root
+
+
+def test_igr_train_step_decreases_nothing_but_runs(kitti_root):
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    from egonet_tpu.data.loader import IGRBatchLoader
+    loader = IGRBatchLoader(ds.records, cfg, train=True)
+    batch = next(loader.epoch())
+    state = trainer.init_state(0)
+    state2, metrics = trainer.train_step(state, batch, apply_cr=False)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "hm" in metrics and "coor" in metrics
+    # params changed
+    p0 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert int(state2.step) == 1
+    # a second step with cr enabled
+    state3, metrics = trainer.train_step(state2, batch, apply_cr=True)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_igr_freeze_layers(kitti_root):
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    cfg["heatmapModel"]["extra"]["freeze_layers"] = ["conv1", "bn1", "layer1"]
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    from egonet_tpu.data.loader import IGRBatchLoader
+    loader = IGRBatchLoader(ds.records, cfg, train=True)
+    batch = next(loader.epoch())
+    state = trainer.init_state(0)
+    # copy before stepping: the train step donates the state buffers
+    frozen_before = np.asarray(state.params["conv1"]["kernel"]).copy()
+    layer1_before = np.asarray(state.params["layer1.0.conv1"]["kernel"]).copy()
+    free_before = np.asarray(state.params["head1.0"]["kernel"]).copy()
+    state2, _ = trainer.train_step(state, batch, apply_cr=False)
+    np.testing.assert_array_equal(np.asarray(state2.params["conv1"]["kernel"]),
+                                  frozen_before)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["layer1.0.conv1"]["kernel"]), layer1_before)
+    assert np.abs(np.asarray(state2.params["head1.0"]["kernel"])
+                  - free_before).max() > 0
+
+
+def test_igr_evaluate(kitti_root):
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    ds = kitti.KITTIDataset(cfg, "valid")
+    trainer = IGRTrainer(cfg)
+    state = trainer.init_state(0)
+    ev = trainer.evaluate(state, ds.records)
+    m = ev.metrics[0]
+    assert m.count > 0
+    assert np.isfinite(m.mean)
+
+
+def test_lifting_trainer_fits(kitti_root):
+    from egonet_tpu.train.lifting import LiftingTrainer
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    cfg = load_config(os.path.join(here, "KITTI_train_lifting.yml"))
+    cfg["dataset"]["root"] = kitti_root
+    cfg["training_settings"].update({"total_epochs": 2, "batch_size": 4,
+                                     "lft_aug_times": 3})
+    train_set, valid_set = kitti.prepare_data(cfg)
+    cfg["FCModel"]["input_size"] = int(train_set.input.shape[1])
+    cfg["FCModel"]["output_size"] = int(train_set.output.shape[1])
+    cfg["FCModel"]["num_neurons"] = 64
+    trainer = LiftingTrainer(cfg)
+    state, history = trainer.fit(train_set, valid_set)
+    assert len(history) == 2
+    # loss should drop across two epochs on this tiny, memorizable set
+    assert history[1]["loss"] < history[0]["loss"]
+    preds = trainer.predict(state, valid_set.input)
+    assert preds.shape == valid_set.output.shape
+
+
+def test_freeze_mask_rules():
+    params = {"conv1": {"kernel": 1}, "stage2.0.branches.0.0.conv1":
+              {"kernel": 1}, "head1.0": {"kernel": 1, "bias": 1}}
+    mask = optim.freeze_mask(params, ["conv1", "stage2"])
+    assert mask["conv1"]["kernel"] is False
+    assert mask["stage2.0.branches.0.0.conv1"]["kernel"] is False
+    assert mask["head1.0"]["kernel"] is True
+
+
+def test_model_summary():
+    from egonet_tpu.models.fc_lifter import FCModel
+    from egonet_tpu.utils.summary import model_summary
+    m = FCModel(input_size=66, output_size=96, num_neurons=128, num_blocks=1)
+    s = model_summary(m, jnp.zeros((1, 66)))
+    # w1: 66*128+128; block: 2*(128*128+128); bns; w2: 128*96+96
+    assert s["params"] > 40000
+    assert "Total Parameters" in s["text"]

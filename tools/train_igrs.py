@@ -57,9 +57,14 @@ def main(argv=None):
         variables = checkpoint.merge_partial(dict(init), partial)
 
     state = trainer.init_state(0, variables=variables)
-    del state  # fit() creates its own; kept for API clarity
-
-    state, history = trainer.fit(train_set.records, valid_set.records)
+    ckpt_out = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_out, exist_ok=True)
+    state, history = trainer.fit(
+        train_set.records, valid_set.records, state=state,
+        snapshot_dir=ckpt_out,
+        ss_record=getattr(train_set, "ss_record", None),
+        ss_img_root=getattr(train_set, "ss_img_root", ""),
+        ss_max_per_img=getattr(train_set, "ss_max_per_img", 6))
     logger.info(f"training done: {history[-1] if history else 'no steps'}")
 
     # save both native (orbax/msgpack) and torch-compatible checkpoints

@@ -28,6 +28,12 @@ def main(argv=None):
     logger.info(f"lifting pairs: train {len(train_set.input)}, "
                 f"valid {len(valid_set.input)}")
 
+    # derive lifter input/output sizes from the representation when the
+    # config leaves them implicit (reference get_input_output_size,
+    # car_instance.py:688-703)
+    cfgs["FCModel"].setdefault("input_size", int(train_set.input.shape[1]))
+    cfgs["FCModel"].setdefault("output_size", int(train_set.output.shape[1]))
+
     batch = int(cfgs["training_settings"].get("batch_size", 2048))
     steps = max(1, len(train_set.input) // batch)
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
