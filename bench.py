@@ -27,7 +27,9 @@ def main():
     enable_compilation_cache()
 
     cfgs = default_demo_config()
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # 384 is the measured single-chip sweet spot (3x128 MXU-aligned padded
+    # batch; >=416 falls off a VMEM cliff)
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE",
