@@ -297,22 +297,42 @@ class EgoNet:
     # post-processing: KITTI txt emission
     # ------------------------------------------------------------------
 
-    def post_process(self, records: dict, save_dict=None, alpha_mode=None):
-        """Write KITTI txts for each image record (spec egonet.py:341-408).
+    def post_process(self, records: dict, save_dict=None, alpha_mode=None,
+                     visualize: bool = False, color_dict=None,
+                     vis_dir: str | None = None, refine: bool = False):
+        """Write KITTI txts (and optional visualizations) for each image
+        record (spec egonet.py:341-408).
 
         ``alpha_mode`` is accepted for signature parity; the angles were
-        already computed in the fused forward.
+        already computed in the fused forward.  ``refine`` applies host-side
+        PnP refinement (legacy extras) before emission.
         """
+        import os
         from egonet_tpu.io import kitti_writer
         for img_path, rec in records.items():
-            if "raw_txt_format" not in rec:
-                continue
-            pred_str = kitti_writer.prediction_str(
-                rec["raw_txt_format"], rec["euler_angles"], rec["alphas"])
-            rec["pred_str"] = pred_str
-            if save_dict and save_dict.get("flag"):
-                kitti_writer.save_txt_file(img_path, pred_str,
-                                           save_dict["save_dir"])
+            if refine:
+                from egonet_tpu.eval.refinement import refine_record
+                refine_record(rec)
+            if "raw_txt_format" in rec:
+                pred_str = kitti_writer.prediction_str(
+                    rec["raw_txt_format"], rec["euler_angles"], rec["alphas"])
+                rec["pred_str"] = pred_str
+                if save_dict and save_dict.get("flag"):
+                    kitti_writer.save_txt_file(img_path, pred_str,
+                                               save_dict["save_dir"])
+            if visualize:
+                from egonet_tpu.visualization import overlays
+                out_dir = vis_dir or (save_dict or {}).get("save_dir", ".")
+                stem = os.path.basename(img_path)[:-4]
+                if "kpts_3d_gt" in rec and "K" in rec:
+                    rec["arrow"] = overlays.add_orientation_arrow(
+                        {"kpts_3d_pred": rec["kpts_3d_pred"],
+                         "kpts_3d_gt": rec["kpts_3d_gt"], "K": rec["K"]})
+                overlays.plot_2d_objects(
+                    self.load_image(img_path), rec, color_dict,
+                    save_path=os.path.join(out_dir, f"{stem}_2d.png"))
+                overlays.plot_3d_objects(
+                    rec, save_path=os.path.join(out_dir, f"{stem}_3d.png"))
         return records
 
     def __call__(self, annot_dict: dict, **kwargs) -> dict:

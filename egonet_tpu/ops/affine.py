@@ -97,6 +97,43 @@ def affine_transform_pts(pts: np.ndarray, t: np.ndarray) -> np.ndarray:
     return pts @ t[:, :2].T + t[:, 2]
 
 
+def transform_preds(coords: np.ndarray, center, scale, output_size):
+    """Local patch coordinates -> source-image coordinates (host-side;
+    spec img_proc.py:16-24)."""
+    trans = get_affine_transform(center, scale, 0, output_size, inv=True)
+    return affine_transform_pts(np.asarray(coords)[:, :2], trans)
+
+
+def simple_crop(image: np.ndarray, center, crop_size) -> np.ndarray:
+    """Rectangular crop around ``center`` with zero padding outside the
+    image (host-side; spec img_proc.py:107-135)."""
+    assert image.ndim == 3
+    sx = int(center[0] - crop_size[0])
+    ex = int(center[0] + crop_size[0])
+    sy = int(center[1] - crop_size[1])
+    ey = int(center[1] + crop_size[1])
+    out = np.zeros((ey - sy, ex - sx, image.shape[2]), dtype=image.dtype)
+    nsx, nex = max(-sx, 0), min(image.shape[1], ex) - sx
+    nsy, ney = max(-sy, 0), min(image.shape[0], ey) - sy
+    osx, oex = max(sx, 0), min(ex, image.shape[1])
+    osy, oey = max(sy, 0), min(ey, image.shape[0])
+    out[nsy:ney, nsx:nex] = image[osy:oey, osx:oex]
+    return out
+
+
+def generate_xy_map(bbox, resolution, global_size) -> np.ndarray:
+    """Normalized [-1, 1] coordinate channels for a crop region (the add_xy
+    input augmentation; spec img_proc.py:193-211).  resolution is
+    (width, height); global_size is (height, width)."""
+    map_w, map_h = int(resolution[0]), int(resolution[1])
+    g_h, g_w = global_size
+    xs = np.linspace(2 * bbox[0] / g_w - 1, 2 * bbox[2] / g_w - 1, map_w)
+    ys = np.linspace(2 * bbox[1] / g_h - 1, 2 * bbox[3] / g_h - 1, map_h)
+    x_map = np.tile(xs, (map_h, 1))[..., None]
+    y_map = np.tile(ys[:, None], (1, map_w))[..., None]
+    return np.concatenate([x_map, y_map], axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Bounding-box <-> center/scale conversions (host-side, tiny)
 # ---------------------------------------------------------------------------

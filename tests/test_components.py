@@ -141,3 +141,69 @@ def test_config_files_load():
     for name in os.listdir(here):
         cfg = load_config(os.path.join(here, name))
         assert "heatmapModel" in cfg or "FCModel" in cfg, name
+
+
+def test_pose_resnet_forward():
+    import jax, jax.numpy as jnp
+    from egonet_tpu.models.resnet import build_pose_resnet
+    from egonet_tpu.models.initialization import numpy_init
+    from egonet_tpu.io import torch_convert as tc
+    cfg = {"heatmapModel": {"num_layers": 18, "num_joints": 33,
+                            "extra": {"num_deconv_layers": 2,
+                                      "num_deconv_filters": [64, 64],
+                                      "num_deconv_kernels": [4, 4],
+                                      "final_conv_kernel": 1}}}
+    model = build_pose_resnet(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = numpy_init(model, 0, x)
+    out = model.apply(v, x)
+    # stem /4, layers /8 more -> 2x2; 2 deconvs -> 8x8
+    assert out.shape == (1, 33, 8, 8)
+    sd = tc.flax_to_torch(jax.tree_util.tree_map(np.asarray, dict(v)))
+    assert "layer2.0.downsample.0.weight" in sd
+    assert "deconv_layers.0.weight" in sd
+    assert "final_layer.bias" in sd
+
+
+def test_normalization_individual(rng):
+    from egonet_tpu.data import normalization as nop
+    data = rng.randn(5, 66)
+    out = nop.normalize_1d(data.copy(), None, None, individual=True)
+    pts = out.reshape(5, 33, 2)
+    np.testing.assert_allclose(pts[:, :, 0].mean(axis=1), 0, atol=1e-9)
+    mean, std = nop.get_statistics_1d(data)
+    norm = nop.normalize_1d(data, mean, std)
+    back = nop.unnormalize_1d(norm, mean, std)
+    np.testing.assert_allclose(back, data, atol=1e-12)
+
+
+def test_simple_crop_and_xy_map(rng):
+    from egonet_tpu.ops import affine
+    img = rng.randint(0, 255, (50, 80, 3)).astype(np.uint8)
+    out = affine.simple_crop(img, (10, 10), (20, 15))
+    assert out.shape == (30, 40, 3)
+    # region extending past the top-left is zero-padded
+    assert out[0, 0].sum() == 0
+    xy = affine.generate_xy_map([0, 0, 80, 50], (16, 16), (50, 80))
+    assert xy.shape == (16, 16, 2)
+    assert xy[0, 0, 0] == -1.0 and abs(xy[-1, -1, 1] - 1.0) < 1e-9
+
+
+def test_transform_preds_roundtrip(rng):
+    from egonet_tpu.ops import affine
+    center, scale = np.array([300.0, 150.0]), np.array([1.2, 1.2])
+    fwd = affine.get_affine_transform(center, scale, 0, (64, 64))
+    pts_src = rng.uniform(200, 400, (10, 2))
+    local = affine.affine_transform_pts(pts_src, fwd)
+    back = affine.transform_preds(local, center, scale, (64, 64))
+    np.testing.assert_allclose(back, pts_src, atol=1e-9)
+
+
+def test_step_timer():
+    from egonet_tpu.utils.profiling import StepTimer
+    t = StepTimer()
+    t.tick()
+    t.tick()
+    t.tick()
+    assert t.steps == 2
+    assert t.rate(10) > 0

@@ -98,7 +98,8 @@ def inference(dataset, model, results, cfgs, logger):
                 records = model(annot, enlarge=1.1, alpha_mode=alpha_mode)
                 model.post_process(records,
                                    save_dict={"flag": True,
-                                              "save_dir": save_dir})
+                                              "save_dir": save_dir},
+                                   visualize=cfgs.get("visualize", False))
         if cfgs.get("use_pred_box") and "pred" in results:
             annot = gather_dict({"path": paths}, results["pred"],
                                 thres=thres, target_ar=height / width,
@@ -109,7 +110,8 @@ def inference(dataset, model, results, cfgs, logger):
                 records = model(annot, enlarge=1.0, alpha_mode=alpha_mode)
                 model.post_process(records,
                                    save_dict={"flag": True,
-                                              "save_dir": save_dir})
+                                              "save_dir": save_dir},
+                                   visualize=cfgs.get("visualize", False))
         if start // batch_size >= cfgs.get("batch_to_show", 10 ** 9) - 1:
             break
 

@@ -38,11 +38,18 @@ def main(argv=None):
     trainer = IGRTrainer(cfgs, mesh=mesh, dtype=dtype,
                          steps_per_epoch=loader_steps, logger=logger)
 
-    # warm start from a pretrained torch checkpoint when configured
+    # resume from a previous run's native checkpoint
     variables = None
+    resume_path = cfgs["training_settings"].get("resume")
+    if resume_path and isinstance(resume_path, str) \
+            and os.path.exists(resume_path):
+        logger.info(f"resuming from {resume_path}")
+        variables = checkpoint.load_variables(resume_path)
+
+    # warm start from a pretrained torch checkpoint when configured
     pretrained = cfgs["heatmapModel"].get("pretrained")
-    if cfgs["heatmapModel"].get("init_weights") and pretrained \
-            and os.path.exists(pretrained):
+    if variables is None and cfgs["heatmapModel"].get("init_weights") \
+            and pretrained and os.path.exists(pretrained):
         logger.info(f"loading pretrained start point {pretrained}")
         sd = torch_convert.load_torch_state_dict(pretrained)
         allowed = cfgs["heatmapModel"]["extra"].get("pretrained_layers", ["*"])
@@ -55,6 +62,13 @@ def main(argv=None):
             jnp.zeros((1, cfgs["heatmapModel"]["input_size"][1],
                        cfgs["heatmapModel"]["input_size"][0], 3)))
         variables = checkpoint.merge_partial(dict(init), partial)
+
+    # parameter/FLOPs summary (reference get_model_summary at startup)
+    from egonet_tpu.utils.summary import model_summary
+    import jax.numpy as jnp_
+    w, h = cfgs["heatmapModel"]["input_size"]
+    summary = model_summary(trainer.model, jnp_.zeros((1, h, w, 3)))
+    logger.info(summary["text"])
 
     state = trainer.init_state(0, variables=variables)
     ckpt_out = os.path.join(out_dir, "checkpoints")
