@@ -49,9 +49,13 @@ class EgoNet:
     """End-to-end monocular pose estimator (inference-oriented facade)."""
 
     def __init__(self, cfgs: dict, pre_trained: bool = False,
-                 dtype=jnp.float32, rng_seed: int = 0):
+                 dtype=jnp.float32, rng_seed: int = 0, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh — instances are sharded
+        over its 'data' axis (images and parameters replicated); XLA scales
+        the fused pipeline across chips with no code change."""
         self.cfgs = cfgs
         self.dtype = dtype
+        self.mesh = mesh
         hm = cfgs["heatmapModel"]
         self.resolution = tuple(hm["input_size"])           # (width, height)
         self.add_xy = bool(hm.get("add_xy", False))
@@ -85,15 +89,19 @@ class EgoNet:
         self._jitted = {}
 
     def to_device(self, device=None):
-        """Commit parameters + stats to the accelerator ONCE.  Without this
-        the weights stay host-resident and every jitted call re-transfers
-        ~256MB through the TPU tunnel."""
-        device = device or jax.devices()[0]
-        self.hrnet_vars = jax.device_put(self.hrnet_vars, device)
-        self.lifter_vars = jax.device_put(self.lifter_vars, device)
+        """Commit parameters + stats to the accelerator(s) ONCE.  Without
+        this the weights stay host-resident and every jitted call
+        re-transfers ~256MB through the TPU tunnel."""
+        if self.mesh is not None:
+            from egonet_tpu.parallel import mesh as pmesh
+            target = pmesh.replicated_sharding(self.mesh)
+        else:
+            target = device or jax.devices()[0]
+        self.hrnet_vars = jax.device_put(self.hrnet_vars, target)
+        self.lifter_vars = jax.device_put(self.lifter_vars, target)
         self.ls_stats = jax.device_put(
             {k: jnp.asarray(np.asarray(v, np.float32))
-             for k, v in self.ls_stats.items()}, device)
+             for k, v in self.ls_stats.items()}, target)
 
     # ------------------------------------------------------------------
     # checkpoints
@@ -258,11 +266,32 @@ class EgoNet:
         K_cx = np.concatenate([K_cx, np.zeros(pad, np.float32)])
 
         ls = self.ls_stats
+        if self.mesh is not None:
+            from egonet_tpu.parallel import mesh as pmesh
+            bsh = pmesh.batch_sharding(self.mesh)
+            rsh = pmesh.replicated_sharding(self.mesh)
+            nd = self.mesh.devices.size
+            if bucket % nd:      # bucket must tile the data axis
+                extra = ((bucket + nd - 1) // nd) * nd - bucket
+                inv_mats = np.concatenate(
+                    [inv_mats, np.tile(np.eye(2, 3, dtype=np.float32)[None],
+                                       (extra, 1, 1))])
+                img_idx = np.concatenate([img_idx, np.zeros(extra, np.int32)])
+                valid = np.concatenate([valid, np.zeros(extra, np.float32)])
+                K_f = np.concatenate([K_f, np.ones(extra, np.float32)])
+                K_cx = np.concatenate([K_cx, np.zeros(extra, np.float32)])
+            dev_args = (jax.device_put(images, rsh),
+                        jax.device_put(inv_mats.astype(np.float32), bsh),
+                        jax.device_put(img_idx, bsh),
+                        jax.device_put(valid, bsh),
+                        jax.device_put(K_f, bsh),
+                        jax.device_put(K_cx, bsh))
+        else:
+            dev_args = (jnp.asarray(images), jnp.asarray(inv_mats),
+                        jnp.asarray(img_idx), jnp.asarray(valid),
+                        jnp.asarray(K_f), jnp.asarray(K_cx))
         out = self._get_jitted(alpha_mode)(
-            self.hrnet_vars, self.lifter_vars, ls,
-            jnp.asarray(images), jnp.asarray(inv_mats),
-            jnp.asarray(img_idx), jnp.asarray(valid),
-            jnp.asarray(K_f), jnp.asarray(K_cx))
+            self.hrnet_vars, self.lifter_vars, ls, *dev_args)
         out = {k: np.asarray(v) for k, v in out.items()}
 
         # regroup per image

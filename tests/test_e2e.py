@@ -103,3 +103,33 @@ def test_pipeline_instance_padding_invariance(setup):
     r_one = model(annot_one)[path]
     np.testing.assert_allclose(r_one["euler_angles"][0],
                                r_full["euler_angles"][0], atol=1e-4)
+
+
+def test_sharded_inference_matches_single(setup):
+    """The mesh-sharded pipeline produces the same outputs as single-device
+    (8-way virtual CPU mesh; instances sharded, params replicated)."""
+    import jax
+    from egonet_tpu.parallel import mesh as pmesh
+    from egonet_tpu.models.egonet import EgoNet
+    _, root, _, cfg, model, ds = setup
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]]}
+    single = model(annot)[path]
+
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+    model_sharded = EgoNet(cfg, pre_trained=False, mesh=mesh)
+    # identical weights
+    model_sharded.hrnet_vars = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, model.hrnet_vars),
+        pmesh.replicated_sharding(mesh))
+    model_sharded.lifter_vars = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, model.lifter_vars),
+        pmesh.replicated_sharding(mesh))
+    sharded = model_sharded(annot)[path]
+    np.testing.assert_allclose(sharded["euler_angles"],
+                               single["euler_angles"], atol=1e-4)
+    np.testing.assert_allclose(sharded["alphas"], single["alphas"],
+                               atol=1e-4)
