@@ -400,10 +400,23 @@ class KITTIDataset:
 
     # -------------------- HC (IGR) training --------------------
 
+    def _instance_record_cache_path(self):
+        """Cache file for precomputed projected keypoints (reference
+        _prepare_key_points_custom .npy caching, :221-262)."""
+        coef = "".join(f"{c:g}" for c in self.interp_coef)
+        name = (f"records_bbox12_{coef}_{self.split}_"
+                f"{'-'.join(self.classes)}.npy")
+        return pjoin(self.paths.keypoint_dir, name)
+
     def _prepare_instance_records(self, cfgs,
                                   visibility_threshold: int = 4) -> list:
         """Per-image training records: paths, instance boxes (from projected
-        keypoints), keypoints, gt rotations (reference :304-346)."""
+        keypoints), keypoints, gt rotations (reference :304-346).  Results
+        are cached as .npy next to the dataset."""
+        cache = self._instance_record_cache_path()
+        if os.path.exists(cache):
+            self._log(f"Found prepared keypoints at {cache}")
+            return list(np.load(cache, allow_pickle=True))
         records = []
         for name in self.paths.image_names():
             img_path = self.paths.image_path(name)
@@ -434,6 +447,13 @@ class KITTIDataset:
                 "kpts": np.concatenate(kpts),
                 "rots": np.concatenate(rots),
             })
+        if cfgs["dataset"].get("pre-process", False):
+            try:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                np.save(cache, np.array(records, dtype=object))
+                self._log(f"Saved prepared keypoints at {cache}")
+            except OSError:
+                pass
         return records
 
     # -------------------- lifter training --------------------

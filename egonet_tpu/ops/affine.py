@@ -268,6 +268,39 @@ def crop_matrices_for_boxes(boxes: np.ndarray,
     }
 
 
+def save_cropped_patches(img_path: str, keypoints, save_dir: str = "./",
+                         threshold: float = 0.25, enlarge: float = 1.4,
+                         target_ar=None):
+    """Crop instance patches around keypoints and save them (the optional
+    pre-processing workflow; spec img_proc.py:564-606).
+
+    keypoints: [N_inst, K, 2 or 3].  Returns (paths, shifted_keypoints
+    [N_kept, K, *], boxes).
+    """
+    import os
+    import cv2
+    img = cv2.imread(img_path, 1 | 128)
+    if img is None:
+        raise ValueError(f"Fail to read {img_path}")
+    os.makedirs(save_dir, exist_ok=True)
+    new_paths, all_new_kpts, all_bbox = [], [], []
+    for i in range(len(keypoints)):
+        center, crop_size, new_kpts, vis_rate = kpts2cs(
+            keypoints[i], enlarge, target_ar=target_ar)
+        all_bbox.append(list(map(int, cs2bbox(center, crop_size))))
+        if vis_rate < threshold:
+            continue
+        all_new_kpts.append(new_kpts.reshape(1, *new_kpts.shape))
+        cropped = simple_crop(img, center, crop_size)
+        save_path = os.path.join(save_dir, f"instance_{i:d}.jpg")
+        new_paths.append(save_path)
+        cv2.imwrite(save_path, cropped)
+    if not new_paths:
+        k = keypoints.shape[1] if hasattr(keypoints, "shape") else 0
+        return new_paths, np.zeros((0, k, 3)), all_bbox
+    return new_paths, np.concatenate(all_new_kpts, axis=0), all_bbox
+
+
 # ---------------------------------------------------------------------------
 # Device-side warp (jnp, jit/vmap-friendly)
 # ---------------------------------------------------------------------------
@@ -356,16 +389,22 @@ def warp_affine_separable(images: jax.Array,
     imgs_f = images.astype(jnp.float32)
 
     # single-pass bf16 on the MXU: ~0.4% weight rounding, finer than
-    # cv2.warpAffine's own 5-bit (1/32) fixed-point interpolation weights
+    # cv2.warpAffine's own 5-bit (1/32) fixed-point interpolation weights.
+    # Weights are materialized directly in bf16 (halves the construction
+    # bandwidth of the [N, out, src] hat-weight tensors).
     precision = jax.lax.Precision.DEFAULT
 
     def one(mat, idx):
         mat = mat.astype(jnp.float32)
-        ry = _interp_weights(mat[1, 2], mat[1, 1], out_h, h)   # [out_h, H]
-        rx = _interp_weights(mat[0, 2], mat[0, 0], out_w, w)   # [out_w, W]
+        ry = _interp_weights(mat[1, 2], mat[1, 1], out_h, h,
+                             dtype=jnp.bfloat16)               # [out_h, H]
+        rx = _interp_weights(mat[0, 2], mat[0, 0], out_w, w,
+                             dtype=jnp.bfloat16)               # [out_w, W]
         img = imgs_f[idx]                                      # [H, W, C]
-        tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=precision)
-        return jnp.einsum("xw,ywc->yxc", rx, tmp, precision=precision)
+        tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=precision,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("xw,ywc->yxc", rx, tmp, precision=precision,
+                          preferred_element_type=jnp.float32)
 
     return jax.vmap(one)(inv_mats, img_idx)
 

@@ -133,6 +133,28 @@ class LiftingTrainer:
                                      f"valid mse {mse:.6f}")
         return state, history
 
+    def evaluate(self, state, valid_set, metrics=None):
+        """Metric-registry evaluation with un-normalized outputs (reference
+        evaluate_cascade, trainer.py:73-111 + testing_settings.unnormalize).
+        """
+        from egonet_tpu.train.metrics import Evaluator
+        metrics = metrics or self.cfgs.get("training_settings", {}).get(
+            "eval_metrics", ["RError3D"])
+        num_joints = int(self.cfgs.get("heatmapModel", {})
+                         .get("num_joints", 33))
+        evaluator = Evaluator(metrics, cfgs=self.cfgs, num_joints=num_joints)
+        preds = self.predict(state, valid_set.input)
+        gts = valid_set.output
+        if self.cfgs.get("testing_settings", {}).get("unnormalize", True) \
+                and valid_set.statistics is not None:
+            stats = valid_set.statistics
+            preds = preds * stats["std_out"] + stats["mean_out"]
+            gts = gts * stats["std_out"] + stats["mean_out"]
+        evaluator.update(preds, ground_truth=gts, logger=self.logger)
+        if self.logger:
+            evaluator.report(self.logger)
+        return evaluator
+
     def predict(self, state, inputs, batch_size: int = 4096):
         outs = []
         for start in range(0, len(inputs), batch_size):

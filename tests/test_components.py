@@ -207,3 +207,48 @@ def test_step_timer():
     t.tick()
     assert t.steps == 2
     assert t.rate(10) > 0
+
+
+def test_lifter_metric_evaluation(kitti_root):
+    from egonet_tpu.train.lifting import LiftingTrainer
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "egonet_tpu", "configs",
+                                   "KITTI_train_lifting.yml"))
+    cfg["dataset"]["root"] = kitti_root
+    cfg["training_settings"].update({"total_epochs": 1, "batch_size": 4,
+                                     "lft_aug_times": 2})
+    train_set, valid_set = kitti.prepare_data(cfg)
+    cfg["FCModel"].update({"input_size": 66, "output_size": 96,
+                           "num_neurons": 32})
+    trainer = LiftingTrainer(cfg)
+    state, _ = trainer.fit(train_set)
+    ev = trainer.evaluate(state, valid_set)
+    m = ev.metrics[0]
+    assert m.rT.count > 0 and np.all(np.isfinite(m.rT.mean))
+
+
+def test_save_cropped_patches(kitti_root, tmp_path):
+    from egonet_tpu.ops import affine
+    paths_obj = kitti.KITTIPaths(kitti_root, "train")
+    img_path = paths_obj.image_path("000000.png")
+    pairs = kitti.get_2d_3d_pairs(paths_obj.label_path("000000.png"),
+                                  paths_obj.calib_path("000000.png"))
+    kpts = np.stack(pairs["kpts_2d"])
+    out_paths, new_kpts, boxes = affine.save_cropped_patches(
+        img_path, kpts, str(tmp_path / "crops"))
+    assert len(out_paths) == len(kpts)
+    assert all(os.path.exists(p) for p in out_paths)
+    assert len(boxes) == len(kpts)
+
+
+def test_instance_record_cache(kitti_root, tmp_path):
+    cfg = small_train_cfg(kitti_root)
+    cfg["dataset"]["pre-process"] = True
+    ds1 = kitti.KITTIDataset(cfg, "train")
+    cache = ds1._instance_record_cache_path()
+    assert os.path.exists(cache)
+    ds2 = kitti.KITTIDataset(cfg, "train")   # loads from cache
+    assert len(ds2.records) == len(ds1.records)
+    np.testing.assert_array_equal(ds2.records[0]["boxes"],
+                                  ds1.records[0]["boxes"])
+    os.remove(cache)
