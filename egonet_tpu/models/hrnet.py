@@ -200,14 +200,9 @@ class PoseHighResolutionNet(nn.Module):
         fused = []
         for i in range(out_count):
             acc = None
-            for j in range(nb):
+            for j in range(i + 1):
                 if j == i:
                     t = ys[j]
-                elif j > i:
-                    t = self._conv(ys[j], ys[i].shape[-1], 1, 1,
-                                   f"{prefix}.fuse_layers.{i}.{j}.0", padding=0)
-                    t = self._bn(t, f"{prefix}.fuse_layers.{i}.{j}.1", train)
-                    t = _upsample_nearest(t, 2 ** (j - i))
                 else:
                     t = ys[j]
                     for k in range(i - j):
@@ -220,6 +215,19 @@ class PoseHighResolutionNet(nn.Module):
                         if not last:
                             t = nn.relu(t)
                 acc = t if acc is None else acc + t
+            # lower-resolution contributions, nested coarse-to-fine: since
+            # nearest-neighbor up4 = up2(up2(.)) and upsampling is linear,
+            # summing at the coarse level first materializes one full-res
+            # tensor instead of one per branch (exact same result)
+            up_acc = None
+            for j in range(nb - 1, i, -1):
+                t = self._conv(ys[j], ys[i].shape[-1], 1, 1,
+                               f"{prefix}.fuse_layers.{i}.{j}.0", padding=0)
+                t = self._bn(t, f"{prefix}.fuse_layers.{i}.{j}.1", train)
+                up_acc = t if up_acc is None else _upsample_nearest(up_acc,
+                                                                   2) + t
+            if up_acc is not None:
+                acc = acc + _upsample_nearest(up_acc, 2)
             fused.append(nn.relu(acc))
         return fused
 
