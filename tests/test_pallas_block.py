@@ -1,0 +1,59 @@
+"""Pallas fused BasicBlock vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.ops import pallas_block as pb
+
+
+def _random_block(rng, C):
+    w1 = rng.randn(3, 3, C, C).astype(np.float32) * 0.1
+    w2 = rng.randn(3, 3, C, C).astype(np.float32) * 0.1
+    def bn():
+        return {"scale": rng.uniform(0.5, 1.5, C).astype(np.float32),
+                "bias": rng.randn(C).astype(np.float32) * 0.1,
+                "mean": rng.randn(C).astype(np.float32) * 0.1,
+                "var": rng.uniform(0.5, 2.0, C).astype(np.float32)}
+    return w1, bn(), w2, bn()
+
+
+def test_fold_bn_matches_unfused(rng):
+    C = 8
+    w1, bn1, w2, bn2 = _random_block(rng, C)
+    x = rng.randn(2, 8, 8, C).astype(np.float32)
+    ref = pb.reference_basic_block(jnp.asarray(x), w1, bn1, w2, bn2)
+    # folded conv path computed directly
+    w1f, b1 = pb.fold_bn(w1, **bn1)
+    w2f, b2 = pb.fold_bn(w2, **bn2)
+    def conv(h, w):
+        return jax.lax.conv_general_dilated(
+            h, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jnp.maximum(conv(jnp.asarray(x), jnp.asarray(w1f)) + b1, 0)
+    y = jnp.maximum(conv(y, jnp.asarray(w2f)) + b2 + x, 0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("H,W,C,B,TH,TW", [
+    (8, 8, 8, 16, 4, 4),
+    (16, 8, 16, 8, 4, 8),
+    (8, 16, 8, 8, 8, 4),
+])
+def test_fused_block_matches_reference(rng, H, W, C, B, TH, TW):
+    w1, bn1, w2, bn2 = _random_block(rng, C)
+    x = (rng.randn(B, H, W, C) * 0.5).astype(np.float32)
+
+    ref = np.asarray(pb.reference_basic_block(jnp.asarray(x), w1, bn1,
+                                              w2, bn2))
+
+    params = pb.pack_block_weights(w1, bn1, w2, bn2)
+    xT = jnp.asarray(np.transpose(x, (1, 2, 3, 0)).astype(np.float32))
+    yT = pb.fused_basic_block(xT.astype(jnp.bfloat16), params,
+                              tile_rows=TH, tile_cols=TW, interpret=True)
+    got = np.transpose(np.asarray(yT, dtype=np.float32), (3, 0, 1, 2))
+    # bf16 activations: compare loosely but element-wise everywhere
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
+    # structural check at f32 would be exact; verify zero-padding borders
+    assert np.isfinite(got).all()
