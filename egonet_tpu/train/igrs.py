@@ -262,4 +262,22 @@ class IGRTrainer:
                                    f"{snapshot_dir}/HC_epoch{epoch + 1}")
             if eval_hook is not None:
                 eval_hook(self, state, epoch)
+        if settings.get("plot_loss") and snapshot_dir and history:
+            self._plot_loss_curve(history, f"{snapshot_dir}/loss.png")
         return state, history
+
+    @staticmethod
+    def _plot_loss_curve(history, path):
+        """Loss-curve artifact (file-based twin of the reference's live
+        matplotlib plot, trainer.py:265-288)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        plt.plot([h["epoch"] for h in history],
+                 [h["loss"] for h in history], "b-o")
+        plt.xlabel("epoch")
+        plt.ylabel("training loss")
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return path

@@ -92,6 +92,74 @@ def draw_pose_vecs(ax, pose_vecs, color="black"):
     return ax
 
 
+def ray_intersect_triangle(p0, p1, triangle) -> int:
+    """Ray (p0 -> p1) vs triangle test (Moller-Trumbore style, matching the
+    reference semantics at points.py:364-410): 0 = no hit, 1 = hit,
+    2 = ray origin lies in the triangle plane point."""
+    v0, v1, v2 = triangle
+    u = v1 - v0
+    v = v2 - v0
+    normal = np.cross(u, v)
+    b = np.inner(normal, p1 - p0)
+    a = np.inner(normal, v0 - p0)
+    if b == 0.0:
+        if a != 0.0:
+            return 0
+        r = 0.0
+    else:
+        r = a / b
+    if r < 0.0:
+        return 0
+    w = p0 + r * (p1 - p0) - v0
+    uv, uu, vv = np.inner(u, v), np.inner(u, u), np.inner(v, v)
+    denom = uv * uv - uu * vv
+    si = (uv * np.inner(w, v) - vv * np.inner(w, u)) / denom
+    if si < 0.0 or si > 1.0:
+        return 0
+    ti = (uv * np.inner(w, u) - uu * np.inner(w, v)) / denom
+    if ti < 0.0 or si + ti > 1.0:
+        return 0
+    return 2 if r == 0.0 else 1
+
+
+def get_visibility(box3d: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    """Self/scene-occlusion visibility of cuboid vertices: a vertex is
+    hidden when the ray to the camera origin crosses any triangle.
+
+    box3d: [8, 3] camera-frame corners; triangles: [N, 3, 3]."""
+    visibility = np.ones(8, dtype=bool)
+    origin = np.zeros(3)
+    for idx, p0 in enumerate(box3d):
+        for triangle in triangles:
+            if ray_intersect_triangle(p0, origin, triangle) == 1:
+                visibility[idx] = False
+                break
+    return visibility
+
+
+def cuboid_triangles(box3d: np.ndarray) -> np.ndarray:
+    """Triangulate the 6 faces of an 8-corner cuboid -> [12, 3, 3]."""
+    faces = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+    tris = []
+    for a, b, c, d in faces:
+        tris.append(box3d[[a, b, c]])
+        tris.append(box3d[[a, c, d]])
+    return np.stack(tris)
+
+
+def get_area(points: np.ndarray, indices: np.ndarray,
+             preserve_points: bool = False) -> np.ndarray:
+    """Signed triangle areas as a feature vector (the 'coordinates2d+area'
+    lifter input representation; spec points.py:270-282)."""
+    vec1 = points[indices[:, 1], :] - points[indices[:, 0], :]
+    vec2 = points[indices[:, 2], :] - points[indices[:, 0], :]
+    area = (np.cross(vec1, vec2) * 0.5).reshape(1, -1)
+    if preserve_points:
+        return np.hstack([points.reshape(1, -1), area])
+    return area
+
+
 def new_3d_axis(figsize=(10, 7)):
     fig = plt.figure(figsize=figsize)
     ax = fig.add_subplot(111, projection="3d")

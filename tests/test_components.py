@@ -252,3 +252,70 @@ def test_instance_record_cache(kitti_root, tmp_path):
     np.testing.assert_array_equal(ds2.records[0]["boxes"],
                                   ds1.records[0]["boxes"])
     os.remove(cache)
+
+
+def test_ray_triangle_visibility():
+    from egonet_tpu.visualization import points as vp
+    # a cuboid in front of the camera: the near face is visible, the far
+    # face corners are occluded by the near face
+    from egonet_tpu.data import cuboid as cb
+    box = cb.construct_box_3d(2.0, 2.0, 2.0, interpolate=False)
+    corners = (box[:, 1:].T + np.array([0.0, 1.0, 10.0]))   # [8, 3]
+    tris = vp.cuboid_triangles(corners)
+    vis = vp.get_visibility(corners, tris)
+    # at least one corner occluded, at least one visible
+    assert vis.any() and not vis.all()
+    # single far triangle occludes a point behind it
+    tri = np.array([[-1.0, -1.0, 5.0], [1.0, -1.0, 5.0], [0.0, 1.0, 5.0]])
+    assert vp.ray_intersect_triangle(np.array([0.0, 0.0, 10.0]),
+                                     np.zeros(3), tri) == 1
+    assert vp.ray_intersect_triangle(np.array([5.0, 0.0, 10.0]),
+                                     np.zeros(3), tri) == 0
+
+
+def test_get_area():
+    from egonet_tpu.visualization import points as vp
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    idx = np.array([[0, 1, 2]])
+    area = vp.get_area(pts, idx)
+    assert area.shape == (1, 1)
+    assert abs(area[0, 0] - 0.5) < 1e-12
+    feat = vp.get_area(pts, idx, preserve_points=True)
+    assert feat.shape == (1, 7)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    import torch
+    import jax.numpy as jnp
+    from egonet_tpu.models.hrnet import _pixel_shuffle
+    x = rng.randn(2, 4, 4, 3 * 4).astype(np.float32)  # NHWC, C*r^2 with r=2
+    got = np.asarray(_pixel_shuffle(jnp.asarray(x), 2))
+    ref = torch.pixel_shuffle(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 2).numpy()
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=0)
+
+
+def test_hrnet_heatmap_head_with_pixel_shuffle(kitti_root):
+    import jax, jax.numpy as jnp
+    from egonet_tpu.models.hrnet import build_hrnet
+    from egonet_tpu.models.initialization import numpy_init
+    cfg = small_train_cfg(kitti_root)
+    cfg["heatmapModel"]["head_type"] = "heatmap"
+    cfg["heatmapModel"]["pixel_shuffle"] = True
+    # upsample factor r = heatmap/input*4 = 16/64*4 = 1 in the small cfg;
+    # use 32 to get r=2
+    cfg["heatmapModel"]["heatmap_size"] = [32, 32]
+    model = build_hrnet(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = numpy_init(model, 0, x)
+    out = model.apply(v, x)
+    assert out.shape == (1, 33, 32, 32)
+    assert "upsample_layer.0" in v["params"]
+
+
+def test_loss_curve_artifact(tmp_path):
+    from egonet_tpu.train.igrs import IGRTrainer
+    path = IGRTrainer._plot_loss_curve(
+        [{"epoch": 0, "loss": 1.0}, {"epoch": 1, "loss": 0.5}],
+        str(tmp_path / "loss.png"))
+    assert os.path.exists(path)
