@@ -133,3 +133,61 @@ def test_sharded_inference_matches_single(setup):
                                single["euler_angles"], atol=1e-4)
     np.testing.assert_allclose(sharded["alphas"], single["alphas"],
                                atol=1e-4)
+
+
+def test_multiclass_inference(tmp_path):
+    """Car + Pedestrian in one run (BASELINE multi-class config): class
+    labels and detector fields preserved per instance."""
+    root, _ = fixtures.make_kitti_root(
+        tmp_path, n_images=2,
+        classes_per_image=[fixtures.CARS + fixtures.PEDS,
+                           fixtures.CARS + fixtures.PEDS])
+    cfg = small_cfg(root)
+    cfg["dataset"]["detect_classes"] = ["Car", "Pedestrian"]
+    from egonet_tpu.models.egonet import EgoNet
+    model = EgoNet(cfg, pre_trained=False)
+    ds = kitti.get_dataset(cfg, split="valid")
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    assert {r["class"] for r in rec["raw_txt_format"]} == {"Car",
+                                                           "Pedestrian"}
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]]}
+    records = model(annot)
+    save_dir = str(tmp_path / "mc")
+    model.post_process(records, save_dict={"flag": True,
+                                           "save_dir": save_dir})
+    lines = open(os.path.join(save_dir, name[:-3] + "txt")).read().splitlines()
+    classes = [line.split()[0] for line in lines]
+    assert "Car" in classes and "Pedestrian" in classes
+    assert len(lines) == len(rec["raw_txt_format"])
+
+
+def test_empty_label_file(tmp_path):
+    """Images whose label file has no instances of the target class are
+    skipped without errors."""
+    root, _ = fixtures.make_kitti_root(tmp_path, n_images=2)
+    # blank out one label file
+    paths = kitti.KITTIPaths(root, "valid")
+    name = paths.image_names()[0]
+    open(paths.label_path(name), "w").write("")
+    cfg = small_cfg(root)
+    ds = kitti.get_dataset(cfg, split="valid")
+    assert name not in ds.annot_dict  # empty file -> no record
+
+
+def test_prediction_without_score_column(tmp_path):
+    """Detector txts missing the score column parse with score absent."""
+    root, pred_dir = fixtures.make_kitti_root(tmp_path, n_images=2,
+                                              with_predictions=True)
+    # strip the score column from one prediction file
+    f = os.path.join(pred_dir, "000001.txt")
+    lines = [" ".join(line.split()[:15]) for line in
+             open(f).read().splitlines()]
+    open(f, "w").write("\n".join(lines) + "\n")
+    cfg = small_cfg(root)
+    ds = kitti.get_dataset(cfg, split="valid")
+    preds = ds.read_predictions(pred_dir)
+    assert "000001.png" in preds
+    assert "score" not in preds["000001.png"]["raw_txt_format"][0]

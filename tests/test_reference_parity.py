@@ -1,0 +1,207 @@
+"""Numeric parity against the REFERENCE implementation itself, imported
+from /root/reference as a test oracle (never copied): affine construction,
+bbox math, argmax decoding, cross-ratio, Gaussian targets, rigid/Procrustes
+transforms, cuboid construction/placement, and byte-level KITTI emission.
+
+These tests are skipped when the reference checkout is absent."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+    # car_instance imports torchvision only for runtime transforms; stub it
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.Normalize = lambda **kw: None
+        tvt.ToTensor = lambda: None
+        tvt.Compose = lambda x: None
+        tvt.RandomHorizontalFlip = lambda p: None
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+
+
+def _ref_img_proc():
+    from libs.common import img_proc
+    return img_proc
+
+
+def _ref_transformation():
+    from libs.common import transformation
+    return transformation
+
+
+def _ref_format():
+    from libs.common import format as fmt
+    return fmt
+
+
+def test_affine_transform_parity(rng):
+    rip = _ref_img_proc()
+    from egonet_tpu.ops import affine
+    for _ in range(20):
+        center = rng.uniform(0, 1000, 2)
+        scale = rng.uniform(0.1, 4.0, 2)
+        rot = float(rng.uniform(-45, 45))
+        size = (int(rng.choice([64, 192, 256])),) * 2
+        for inv in (0, 1):
+            ref = rip.get_affine_transform(center, scale, rot, size, inv=inv)
+            ours = affine.get_affine_transform(center, scale, rot, size,
+                                               inv=bool(inv))
+            np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+        pts = rng.uniform(0, 1000, (33, 2))
+        t = rip.get_affine_transform(center, scale, 0.0, size)
+        np.testing.assert_allclose(
+            affine.affine_transform_pts(pts, t),
+            rip.affine_transform_modified(pts, t), rtol=1e-6, atol=1e-6)
+
+
+def test_bbox_math_parity(rng):
+    rip = _ref_img_proc()
+    from egonet_tpu.ops import affine
+    for _ in range(20):
+        x1, y1 = rng.uniform(0, 500, 2)
+        bbox = [x1, y1, x1 + rng.uniform(10, 400), y1 + rng.uniform(10, 300)]
+        ar = float(rng.uniform(0.5, 2.0))
+        en = float(rng.uniform(1.0, 1.5))
+        ref = rip.modify_bbox(bbox, ar, en)
+        ours = affine.modify_bbox(bbox, ar, en)
+        np.testing.assert_allclose(ours["bbox"], ref["bbox"], rtol=1e-9)
+        np.testing.assert_allclose(ours["c"], ref["c"], rtol=1e-9)
+        np.testing.assert_allclose(ours["s"], ref["s"], rtol=1e-9)
+    # kpts2cs both methods
+    kpts = rng.uniform(0, 300, (33, 2))
+    for method in ("boundary", "centroid"):
+        c1, s1, nk1, v1 = rip.kpts2cs(kpts, enlarge=1.1, method=method)
+        c2, s2, nk2, v2 = affine.kpts2cs(kpts, enlarge=1.1, method=method)
+        np.testing.assert_allclose(c2, c1)
+        np.testing.assert_allclose(s2, s1)
+        np.testing.assert_allclose(nk2, nk1)
+
+
+def test_argmax_parity(rng):
+    rip = _ref_img_proc()
+    from egonet_tpu.ops.keypoints import hard_argmax, soft_argmax_sumnorm
+    hm = rng.rand(3, 5, 16, 16).astype(np.float32)
+    ref_pred, ref_val = rip.get_max_preds(hm.copy())
+    got_pred, got_val = hard_argmax(jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(got_pred), ref_pred, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_val), ref_val, atol=1e-6)
+
+    ref_pred, ref_val = rip.soft_arg_max_np(hm.copy())
+    got_pred, got_val = soft_argmax_sumnorm(jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(got_pred), ref_pred, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_val), ref_val, atol=1e-6)
+
+
+def test_cross_ratio_parity(rng):
+    rip = _ref_img_proc()
+    import torch
+    from egonet_tpu.ops.keypoints import cross_ratio_sq
+    pts = rng.rand(10, 4, 2)
+    got = np.asarray(cross_ratio_sq(jnp.asarray(pts)))
+    for i in range(10):
+        ref = float(rip.appro_cr(torch.from_numpy(pts[i])))
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5)
+
+
+def test_gaussian_target_parity(rng):
+    rip = _ref_img_proc()
+    from egonet_tpu.ops.keypoints import gaussian_targets
+    params = {"num_joints": 6, "target_type": "gaussian",
+              "input_size": np.array([64, 64]),
+              "heatmap_size": np.array([16, 16]), "sigma": 2,
+              "use_different_joints_weight": False}
+    joints = np.hstack([rng.uniform(-10, 75, (6, 2)), np.ones((6, 1))])
+    vis = (rng.rand(6) > 0.2).astype(np.float64)
+    ref_t, ref_w = rip.generate_target(joints, vis, params)
+    got_t, got_w = gaussian_targets(jnp.asarray(joints[None, :, :2]),
+                                    jnp.asarray(vis[None]),
+                                    (16, 16), (64.0, 64.0), 2)
+    np.testing.assert_allclose(np.asarray(got_t)[0], ref_t, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w)[0], ref_w[:, 0], atol=0)
+
+
+def test_rigid_transform_parity(rng):
+    rtr = _ref_transformation()
+    from egonet_tpu.geometry import rigid
+    from egonet_tpu.common import transformation as ours
+    for _ in range(10):
+        X = rng.randn(3, 32)
+        Y = rng.randn(3, 32)
+        R_ref, t_ref = rtr.compute_rigid_transform(X, Y)
+        R_np, t_np = ours.compute_rigid_transform(X, Y)
+        np.testing.assert_allclose(R_np, R_ref, atol=1e-10)
+        np.testing.assert_allclose(t_np, t_ref, atol=1e-10)
+        R_j, t_j = rigid.kabsch(jnp.asarray(X), jnp.asarray(Y))
+        np.testing.assert_allclose(np.asarray(R_j), R_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t_j), t_ref, atol=1e-4)
+    # weighted variant
+    W = rng.uniform(0.1, 1.0, 32)
+    R_ref, t_ref = rtr.compute_rigid_transform(X, Y, W=W)
+    R_np, t_np = ours.compute_rigid_transform(X, Y, W=W)
+    np.testing.assert_allclose(R_np, R_ref, atol=1e-10)
+
+
+def test_similarity_transform_parity(rng):
+    rtr = _ref_transformation()
+    from egonet_tpu.common import transformation as ours
+    X = rng.randn(20, 3)
+    Y = rng.randn(20, 3)
+    for scale in (False, True):
+        d1, Z1, T1, b1, c1 = rtr.compute_similarity_transform(X, Y, scale)
+        d2, Z2, T2, b2, c2 = ours.compute_similarity_transform(X, Y, scale)
+        np.testing.assert_allclose(d2, d1, atol=1e-10)
+        np.testing.assert_allclose(Z2, Z1, atol=1e-10)
+        np.testing.assert_allclose(T2, T1, atol=1e-10)
+        np.testing.assert_allclose(b2, b1, atol=1e-10)
+        np.testing.assert_allclose(c2, c1, atol=1e-10)
+
+
+def test_kitti_string_parity(rng):
+    rfmt = _ref_format()
+    from egonet_tpu.io import kitti_writer
+    for _ in range(10):
+        dic = {"class": "Car", "truncation": float(rng.uniform(0, 1)),
+               "occlusion": float(rng.randint(0, 3)),
+               "alpha": float(rng.uniform(-np.pi, np.pi)),
+               "bbox": list(rng.uniform(0, 1000, 4)),
+               "dimensions": list(rng.uniform(0.5, 5, 3)),
+               "locations": list(rng.uniform(-30, 60, 3)),
+               "rot_y": float(rng.uniform(-np.pi, np.pi)),
+               "score": float(rng.rand())}
+        assert kitti_writer.instance_str(dic) == rfmt.get_instance_str(dic)
+    # full record rewrite path (rot_y/alpha overwritten, rest preserved)
+    raws = [dict(dic, score=0.5), dict(dic, score=0.25)]
+    euler = rng.randn(2, 3)
+    alphas = rng.uniform(-np.pi, np.pi, 2)
+    record = {"raw_txt_format": raws, "euler_angles": euler, "alphas": alphas}
+    ref_str = rfmt.get_pred_str(record)
+    got_str = kitti_writer.prediction_str(raws, euler, alphas)
+    assert got_str == ref_str
+
+
+def test_xy_map_and_crops_parity(rng):
+    rip = _ref_img_proc()
+    from egonet_tpu.ops import affine
+    bbox = [50.0, 30.0, 400.0, 250.0]
+    ref = rip.generate_xy_map(bbox, (32, 24), (375, 1242))
+    got = affine.generate_xy_map(bbox, (32, 24), (375, 1242))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    img = rng.randint(0, 255, (100, 160, 3)).astype(np.uint8)
+    ref_c = rip.simple_crop(img, (30, 40), (25, 20))
+    got_c = affine.simple_crop(img, (30, 40), (25, 20))
+    np.testing.assert_array_equal(got_c, ref_c)
