@@ -205,3 +205,149 @@ def test_xy_map_and_crops_parity(rng):
     ref_c = rip.simple_crop(img, (30, 40), (25, 20))
     got_c = affine.simple_crop(img, (30, 40), (25, 20))
     np.testing.assert_array_equal(got_c, ref_c)
+
+
+def _ref_egonet_methods():
+    """Reference EgoNet's geometry methods bound to a dummy object (they
+    don't touch instance state beyond each other)."""
+    from libs.model.egonet import EgoNet as RefEgoNet
+
+    class Dummy:
+        pass
+
+    d = Dummy()
+    for name in ("get_template", "kpts_to_euler", "get_6d_rep",
+                 "get_observation_angle_trans", "get_observation_angle_proj"):
+        setattr(d, name, getattr(RefEgoNet, name).__get__(d))
+    return d
+
+
+def test_orientation_solver_parity(rng):
+    """Template fit + Kabsch + euler + alpha — the path that decides AOS —
+    matches the reference implementation on random plausible cuboids."""
+    from egonet_tpu.geometry import rigid
+    from egonet_tpu.data import cuboid as cb
+    ref = _ref_egonet_methods()
+
+    preds = []
+    for _ in range(12):
+        box = cb.construct_box_3d(float(rng.uniform(3, 5)),
+                                  float(rng.uniform(1.2, 2)),
+                                  float(rng.uniform(1.4, 2)),
+                                  interpolate=True)
+        rel = (box[:, 1:] - box[:, :1])
+        rot = cb.rot_y_matrix(float(rng.uniform(-np.pi, np.pi)))
+        noisy = rot @ rel + rng.randn(3, 32) * 0.02
+        preds.append(noisy.T)
+    preds = np.stack(preds)                       # [N, 32, 3]
+
+    ref_angles, ref_trans = ref.get_6d_rep(preds.copy())
+    got_angles, got_trans = rigid.six_dof_from_cuboids(jnp.asarray(preds))
+    np.testing.assert_allclose(np.asarray(got_angles), ref_angles, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_trans), preds[:, 0, :],
+                               atol=1e-6)
+
+    # template construction itself
+    t_ref = ref.get_template(preds[0])
+    t_got = np.asarray(rigid.template_from_prediction(jnp.asarray(preds[0])))
+    np.testing.assert_allclose(t_got, t_ref, atol=1e-5)
+
+    # alpha (trans mode)
+    translations = rng.uniform(-30, 60, (12, 3))
+    translations[:, 2] = np.abs(translations[:, 2]) + 5
+    a_ref = ref.get_observation_angle_trans(ref_angles, translations)
+    a_got = rigid.observation_angle_trans(jnp.asarray(ref_angles[:, 1]),
+                                          jnp.asarray(translations))
+    np.testing.assert_allclose(np.asarray(a_got), a_ref, atol=1e-5)
+
+    # alpha (proj mode)
+    K = np.array([[707.0, 0, 604.0], [0, 707.0, 180.0], [0, 0, 1.0]])
+    kpts = [rng.uniform(0, 1242, (33, 2)) for _ in range(12)]
+    a_ref = ref.get_observation_angle_proj(ref_angles, kpts, K)
+    kx = np.array([k[0, 0] for k in kpts])
+    a_got = rigid.observation_angle_proj(
+        jnp.asarray(ref_angles[:, 1]), jnp.asarray(kx),
+        jnp.full(12, K[0, 0]), jnp.full(12, K[0, 2]))
+    np.testing.assert_allclose(np.asarray(a_got), a_ref, atol=1e-5)
+
+
+def test_cuboid_construction_parity(rng):
+    """construct_box_3d / interpolate / get_cam_cord against the reference
+    KITTI dataset methods (bound to a dummy carrying the few attrs used)."""
+    from libs.dataset.KITTI.car_instance import KITTI as RefKITTI
+    from egonet_tpu.data import cuboid as cb
+
+    class Dummy:
+        interp_params = {"flag": True, "style": "bbox12",
+                         "coef": [0.332, 0.667]}
+        split = "valid"
+        exp_type = "inference"
+        _inference_mode = True
+
+    d = Dummy()
+    d.construct_box_3d = RefKITTI.construct_box_3d.__get__(d)
+    d.interpolate = RefKITTI.interpolate.__get__(d)
+    d.get_cam_cord = RefKITTI.get_cam_cord.__get__(d)
+    d.project_3d_to_2d = RefKITTI.project_3d_to_2d.__get__(d)
+
+    for _ in range(6):
+        l, h, w = [float(v) for v in rng.uniform(1, 5, 3)]
+        ref_box = d.construct_box_3d(l, h, w, d.interp_params)
+        got_box = cb.construct_box_3d(l, h, w, interpolate=True)
+        np.testing.assert_allclose(got_box, ref_box, atol=1e-6)
+
+        # keep the object in front of the camera: degenerate depths amplify
+        # fp noise in the projection comparison
+        pose = np.concatenate([rng.uniform(-15, 15, 2),
+                               [float(rng.uniform(8, 50)),
+                                0.0, float(rng.uniform(-np.pi, np.pi)), 0.0]
+                               ]).reshape(1, 6)
+        shift = rng.randn(3, 1) * 0.1
+        cam = []
+        d.get_cam_cord(cam, shift, [(0, (l, h, w))], [pose])
+        got_cam = cb.place_cuboid(got_box, pose, shift)
+        np.testing.assert_allclose(got_cam, cam[0], atol=1e-6)
+
+        K = np.array([[707.0, 0, 604.0], [0, 707.0, 180.0], [0, 0, 1.0]])
+        np.testing.assert_allclose(cb.project_3d_to_2d(got_cam, K),
+                                   d.project_3d_to_2d(cam[0], K), atol=1e-6)
+
+
+def test_composite_loss_parity(rng):
+    """Heatmap MSE, coordinate L1 and the cross-ratio term (incl. the
+    fore-shortening mask) against the reference JointsCompositeLoss."""
+    import torch
+    from libs.loss.function import JointsCompositeLoss
+    from libs.dataset.KITTI.car_instance import cr_indices_dict
+    from egonet_tpu.train import losses
+
+    n, k = 3, 33
+    hm_pred = rng.rand(n, k, 16, 16).astype(np.float32)
+    hm_gt = rng.rand(n, k, 16, 16).astype(np.float32)
+    coords_pred = rng.rand(n, k, 2).astype(np.float32)
+
+    ref_loss = JointsCompositeLoss(["mse", "l1", "sl1"], (64, 64), (16, 16),
+                                   loss_weights=[1.0, 1.0, 1.0],
+                                   target_cr=4.0 / 3.0)
+    ref_loss.cr_indices = cr_indices_dict["bbox12"]
+
+    ref_hm = float(ref_loss.calc_hm_loss(torch.from_numpy(hm_pred),
+                                         torch.from_numpy(hm_gt)))
+    got_hm = float(losses.heatmap_mse_loss(jnp.asarray(hm_pred),
+                                           jnp.asarray(hm_gt)))
+    np.testing.assert_allclose(got_hm, ref_hm, rtol=1e-5)
+
+    joints_px = rng.uniform(0, 64, (n, k, 2)).astype(np.float32)
+    ref_coor = float(ref_loss.calc_coor_loss(
+        torch.from_numpy(coords_pred),
+        torch.from_numpy(joints_px.copy())))
+    got_coor = float(losses.coordinate_l1_loss(
+        jnp.asarray(coords_pred), jnp.asarray(joints_px), (64, 64)))
+    np.testing.assert_allclose(got_coor, ref_coor, rtol=1e-5)
+
+    mask_ref = ref_loss.get_cr_mask(coords_pred, threshold=0.15)
+    ref_cr = float(ref_loss.calc_cross_ratio_loss(
+        torch.from_numpy(coords_pred), 4.0 / 3.0, mask_ref))
+    got_cr = float(losses.cross_ratio_loss(jnp.asarray(coords_pred),
+                                           distance_threshold=0.15))
+    np.testing.assert_allclose(got_cr, ref_cr, rtol=1e-4, atol=1e-6)
