@@ -19,7 +19,7 @@ def test_construct_box_dimensions():
     box = cuboid.construct_box_3d(4.0, 1.5, 1.8, interpolate=False)
     assert box.shape == (3, 9)
     # center point is the bbox centroid shifted to bottom-center origin
-    np.testing.assert_allclose(box[:, 0], [0.0, -0.75, 0.0])
+    np.testing.assert_allclose(box[:, 0], [0.0, -0.75, 0.0], atol=1e-6)
     # corners span the l/h/w extents
     assert np.isclose(box[0].max() - box[0].min(), 4.0)
     assert np.isclose(box[1].max() - box[1].min(), 1.5)
