@@ -20,16 +20,26 @@ conv1 outputs across tile boundaries but zeros outside the image.
 STATUS: EXPERIMENTAL.  The kernel is numerically verified against the XLA
 reference in interpret mode (tests/test_pallas_block.py) but is not yet
 wired into the inference path: this environment's remote TPU compile
-helper (tunneled chip, client/terminal libtpu mismatch forces remote
-compilation) rejects any Pallas kernel containing more than ~6 matmuls —
-whether Python-unrolled or under lax.fori_loop — with an undiagnosable
-"HTTP 500: tpu_compile_helper subprocess exit code 1".  Small probes of
-every individual construct (manual halo DMA from HBM, tap-matrix
-stack/transpose/reshape, two chained MXU matmuls through VMEM scratch,
-predication, masking) each compile and run; only the composition above
-the size threshold fails.  On a toolchain where Mosaic diagnostics are
-visible this kernel is the next ~25 ms/batch of headroom (it halves the
-HBM traffic of the dominant 64x64/32x32 branch blocks).
+helper (tunneled chip; client/terminal libtpu mismatch forces remote
+compilation) rejects it with an undiagnosable "HTTP 500:
+tpu_compile_helper subprocess exit code 1".  Bisection results:
+
+  * every individual construct compiles and runs (manual halo DMA from an
+    ANY/HBM ref, tap-matrix stack/transpose/reshape, chained MXU matmuls
+    through VMEM scratch, pl.when predication, iota masking);
+  * fully-unrolled kernels compile up to ~6 matmuls and fail at >= 10
+    (tile_rows=2 compiles; tile_rows=4 does not);
+  * lax.fori_loop bodies with dynamic-index tap gathers/stores fail even
+    with a SINGLE matmul, so loops cannot shrink the kernel;
+  * a viable compile-anywhere shape is tile_rows=2 (6 matmuls), but its
+    2x conv1 halo recomputation erases the bandwidth win (~parity with
+    XLA), so it is not enabled.
+
+On a toolchain with visible Mosaic diagnostics (or a pipelined-stencil
+formulation: one grid step per output row, ring-buffered mid rows, 2
+matmuls per body — blocked today by the dynamic ring indexing) this
+kernel is the next ~25 ms/batch of headroom: it halves the HBM traffic of
+the dominant 64x64/32x32 branch blocks.
 """
 
 from __future__ import annotations
