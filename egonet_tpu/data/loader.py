@@ -95,6 +95,16 @@ class IGRBatchLoader:
             self._image_cache[path] = img
         return img
 
+    def _decode_chunk(self, paths):
+        """Parallel image decode (cv2 releases the GIL; KITTI batches decode
+        ~24 PNGs, which would otherwise serialize against the device step)."""
+        from concurrent.futures import ThreadPoolExecutor
+        if len(paths) <= 1:
+            return [self._load(p) for p in paths]
+        if not hasattr(self, "_pool"):
+            self._pool = ThreadPoolExecutor(max_workers=8)
+        return list(self._pool.map(self._load, paths))
+
     def _assemble(self, chunk):
         width, height = self.input_size
         hc, wc = self.canvas_hw
@@ -102,8 +112,9 @@ class IGRBatchLoader:
         images = np.zeros((b, hc, wc, 3), np.uint8)
         inv_mats, img_idx, joints_local = [], [], []
         centers, scales, orig_joints = [], [], []
+        decoded = self._decode_chunk([rec["path"] for rec in chunk])
         for i, rec in enumerate(chunk):
-            img = self._load(rec["path"])
+            img = decoded[i]
             h, w = img.shape[:2]
             images[i, :min(h, hc), :min(w, wc)] = img[:hc, :wc]
             for j in range(len(rec["boxes"])):
