@@ -57,3 +57,21 @@ def test_fused_block_matches_reference(rng, H, W, C, B, TH, TW):
     np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
     # structural check at f32 would be exact; verify zero-padding borders
     assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("H,W,C,B,TW", [
+    (8, 8, 8, 16, 8),
+    (16, 16, 8, 8, 8),
+])
+def test_stencil_block_matches_reference(rng, H, W, C, B, TW):
+    from egonet_tpu.ops import pallas_block_stencil as pbs
+    w1, bn1, w2, bn2 = _random_block(rng, C)
+    x = (rng.randn(B, H, W, C) * 0.5).astype(np.float32)
+    ref = np.asarray(pb.reference_basic_block(jnp.asarray(x), w1, bn1,
+                                              w2, bn2))
+    params = pbs.pack_stencil_weights(w1, bn1, w2, bn2)
+    xT = jnp.asarray(np.transpose(x, (1, 2, 3, 0))).astype(jnp.bfloat16)
+    yT = pbs.fused_basic_block_stencil(xT, params, tile_cols=TW,
+                                       interpret=True)
+    got = np.transpose(np.asarray(yT, dtype=np.float32), (3, 0, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
