@@ -46,13 +46,28 @@ def merge_config(base: dict, overrides: dict) -> dict:
     return out
 
 
+def str2bool(value) -> bool:
+    """Proper boolean CLI parsing.  The reference uses ``type=bool`` which
+    makes ``--visualize False`` truthy (any non-empty string is True); this
+    accepts the usual spellings and rejects everything else."""
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if v in ("0", "false", "f", "no", "n", "off", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
 def parse_args(argv=None) -> dict:
     """CLI-compatible with the reference tools: --cfg / --visualize /
     --batch_to_show."""
     parser = argparse.ArgumentParser(description="egonet_tpu entry point")
     parser.add_argument("--cfg", type=str, required=True,
                         help="experiment configuration file path")
-    parser.add_argument("--visualize", default=False, type=bool)
+    parser.add_argument("--visualize", default=False, type=str2bool,
+                        nargs="?", const=True)
     parser.add_argument("--batch_to_show", default=1_000_000, type=int)
     args, _unknown = parser.parse_known_args(argv)
     cfgs = load_config(args.cfg)

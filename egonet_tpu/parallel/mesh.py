@@ -51,3 +51,33 @@ def replicate_pytree(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def pad_instance_batch(batch: dict, multiple: int,
+                       replicated_keys=("images",)) -> dict:
+    """Zero-pad the leading (instance) axis of every sharded batch array to a
+    multiple of the mesh size.
+
+    ``NamedSharding(mesh, P('data'))`` requires the sharded axis to divide
+    evenly by the mesh; the default instance cap (MAX_INS_CNT=140) does not
+    divide an 8-chip mesh, so un-padded batches would be rejected at
+    ``jax.device_put``.  Padding rows carry mask=0 and are excluded from the
+    loss/metrics; a zero inv_mat warps to an all-black crop.
+    """
+    sizes = {v.shape[0] for k, v in batch.items()
+             if k not in replicated_keys and k != "meta"}
+    if not sizes:
+        return batch
+    assert len(sizes) == 1, f"inconsistent instance axes: {sizes}"
+    n = sizes.pop()
+    target = pad_to_multiple(n, multiple)
+    if target == n:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k in replicated_keys or k == "meta":
+            out[k] = v
+        else:
+            pad_width = [(0, target - n)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad_width)
+    return out

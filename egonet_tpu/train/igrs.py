@@ -151,6 +151,9 @@ class IGRTrainer:
         batch = {k: v for k, v in batch.items() if k != "meta"}
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
+        # the sharded instance axis must divide the mesh (MAX_INS_CNT=140
+        # does not divide 8); pad before device_put
+        batch = pmesh.pad_instance_batch(batch, self.mesh.devices.size)
         out = {}
         for k, v in batch.items():
             if k == "images":
