@@ -33,6 +33,9 @@ MAX_OCCLUSION = (0, 1, 2)
 MAX_TRUNCATION = (0.15, 0.3, 0.5)
 # rows: metric (image, ground, 3d); cols: class
 MIN_OVERLAP = ((0.7, 0.5, 0.5), (0.7, 0.5, 0.5), (0.7, 0.5, 0.5))
+# the test server uses looser BEV/3D gates for ped/cyclist
+# (/root/reference/tools/kitti-eval/evaluate_object_3d.cpp:54)
+MIN_OVERLAP_SERVER = ((0.7, 0.5, 0.5), (0.5, 0.25, 0.25), (0.5, 0.25, 0.25))
 N_SAMPLE_PTS = 41
 
 METRIC_IMAGE, METRIC_GROUND, METRIC_3D = 0, 1, 2
@@ -249,9 +252,10 @@ def clean_data(cls_idx: int, gts: list, dets: list, difficulty: int):
 
 
 def compute_statistics(cls_idx, gts, dets, dontcare, ignored_gt, ignored_det,
-                       compute_fp, metric, compute_aos=False, thresh=0.0):
+                       compute_fp, metric, compute_aos=False, thresh=0.0,
+                       overlap_table=MIN_OVERLAP):
     """Greedy matching for one frame at one score threshold."""
-    min_overlap = MIN_OVERLAP[metric][cls_idx]
+    min_overlap = overlap_table[metric][cls_idx]
     overlap_fn = OVERLAP_FN[metric]
     NO_DETECTION = -10000000.0
     tp = fp = fn = 0
@@ -340,7 +344,7 @@ def get_thresholds(scores: list, n_gt: int) -> list:
 
 
 def eval_class(gt_frames, det_frames, cls_idx, difficulty, metric,
-               compute_aos=False):
+               compute_aos=False, overlap_table=MIN_OVERLAP):
     """Returns (precision[41], aos[41] or None)."""
     n_gt = 0
     all_scores = []
@@ -351,7 +355,8 @@ def eval_class(gt_frames, det_frames, cls_idx, difficulty, metric,
         n_gt += frame_n_gt
         cleaned.append((ignored_gt, dc, ignored_det))
         stat = compute_statistics(cls_idx, gts, dets, dc, ignored_gt,
-                                  ignored_det, False, metric)
+                                  ignored_det, False, metric,
+                                  overlap_table=overlap_table)
         all_scores += stat["scores"]
 
     thresholds = get_thresholds(all_scores, n_gt)
@@ -362,7 +367,8 @@ def eval_class(gt_frames, det_frames, cls_idx, difficulty, metric,
         for t, thr in enumerate(thresholds):
             stat = compute_statistics(cls_idx, gts, dets, dc, ignored_gt,
                                       ignored_det, True, metric,
-                                      compute_aos, thr)
+                                      compute_aos, thr,
+                                      overlap_table=overlap_table)
             agg[t]["tp"] += stat["tp"]
             agg[t]["fp"] += stat["fp"]
             agg[t]["fn"] += stat["fn"]
@@ -392,14 +398,30 @@ def ap_r11(vals) -> float:
 
 
 def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
-             write_stats: bool = True) -> dict:
+             write_stats: bool = True, server: bool = False,
+             n_testimages: int = 7518) -> dict:
     """Full offline evaluation over ``result_dir/data/*.txt``.
+
+    ``server=True`` reproduces the test-server variant
+    (/root/reference/tools/kitti-eval/evaluate_object_3d.cpp): a FIXED
+    0..n_testimages-1 index range where every submission file must exist,
+    and looser ped/cyclist ground/3D overlap gates.
 
     Returns {class: {metric: {difficulty: {"precision": [...],
     "aos": [...]|None, "ap_r40": x, "ap_r11": x, "aos_r40": x|None}}}}.
     """
     data_dir = os.path.join(result_dir, "data")
-    names = sorted(f for f in os.listdir(data_dir) if f.endswith(".txt"))
+    if server:
+        names = [f"{i:06d}.txt" for i in range(n_testimages)]
+        missing = [n for n in names
+                   if not os.path.exists(os.path.join(data_dir, n))]
+        if missing:
+            raise FileNotFoundError(
+                f"server mode requires all {n_testimages} submission files; "
+                f"missing {missing[0]} (+{len(missing) - 1} more)")
+    else:
+        names = sorted(f for f in os.listdir(data_dir) if f.endswith(".txt"))
+    overlap_table = MIN_OVERLAP_SERVER if server else MIN_OVERLAP
     gt_frames, det_frames = [], []
     compute_aos = True
     present = set()
@@ -438,7 +460,8 @@ def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
             results[cls][metric_name] = {}
             for diff_idx, diff in enumerate(DIFFICULTIES):
                 precision, aos = eval_class(gt_frames, det_frames, cls_idx,
-                                            diff_idx, metric, aos_ok)
+                                            diff_idx, metric, aos_ok,
+                                            overlap_table=overlap_table)
                 entry = {
                     "precision": precision,
                     "aos": aos,

@@ -263,3 +263,188 @@ def test_cpp_matches_python(tmp_path):
         np.testing.assert_allclose(rows[diff_idx],
                                    py["car"]["image"][diff]["aos"],
                                    atol=1e-6)
+
+
+# ------------------------------------------------- neighbor-class semantics
+
+def _ped(**kw):
+    d = dict(type="Pedestrian", h=1.8, w=0.6, l=0.9)
+    d.update(kw)
+    return obj(**d)
+
+
+def test_van_neighbors_car(tmp_path):
+    """A 'Car' detection overlapping a Van GT is NEITHER a TP NOR an FP
+    (Van is a neighboring class of Car: clean_data valid_class=0,
+    r40.cpp:398-401).  AP stays 100 with the Van detection present; removing
+    the Van GT turns the same detection into an FP and drops AP."""
+    def build(with_van_gt):
+        frames = []
+        for f in range(6):
+            gts, dets = _spread_gt(7, seed=60 + f)
+            van_box = dict(x1=900.0, y1=100.0, x2=990.0, y2=160.0,
+                           t1=60.0, t3=25.0)
+            van_det = obj(**van_box)
+            van_det.score = 0.999          # above every matched score
+            dets = dets + [van_det]
+            if with_van_gt:
+                van = obj(**van_box)
+                van.type = "Van"
+                gts = gts + [van]
+            frames.append((gts, dets))
+        return frames
+
+    gt_dir, res_dir = make_dirs(tmp_path / "with", build(True))
+    r_with = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    gt_dir, res_dir = make_dirs(tmp_path / "without", build(False))
+    r_without = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    assert r_with["car"]["image"]["easy"]["ap_r40"] == pytest.approx(100.0)
+    assert r_without["car"]["image"]["easy"]["ap_r40"] < 100.0
+    # the Van GT itself must not add to n_gt: recall base unchanged means
+    # the curve cannot dip from a missed Van
+    ig, _, _, n_gt = ke.clean_data(
+        0, [obj(type="Van")], [], difficulty=2)
+    assert ig == [1] and n_gt == 0
+
+
+def test_person_sitting_neighbors_pedestrian(tmp_path):
+    """Person_sitting plays the same ignored-neighbor role for Pedestrian
+    (r40.cpp:398-401)."""
+    def build(with_ps_gt):
+        frames = []
+        for f in range(6):
+            gts, dets = [], []
+            for i in range(7):          # 7 x 6 frames = 42 >= 41 recall pts
+                x = 10.0 + 120.0 * i
+                g = _ped(x1=x, y1=100.0, x2=x + 40.0, y2=160.0,
+                         t1=-30.0 + 10.0 * i, t3=12.0)
+                d = _ped(**{**g.__dict__})
+                d.score = 1.0 - 0.02 * i
+                gts.append(g)
+                dets.append(d)
+            ps_box = dict(x1=900.0, y1=100.0, x2=940.0, y2=160.0,
+                          t1=55.0, t3=14.0)
+            ps_det = _ped(**ps_box)
+            ps_det.score = 0.999
+            dets.append(ps_det)
+            if with_ps_gt:
+                ps = _ped(**ps_box)
+                ps.type = "Person_sitting"
+                gts.append(ps)
+            frames.append((gts, dets))
+        return frames
+
+    gt_dir, res_dir = make_dirs(tmp_path / "with", build(True))
+    r_with = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    gt_dir, res_dir = make_dirs(tmp_path / "without", build(False))
+    r_without = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    assert r_with["pedestrian"]["image"]["easy"]["ap_r40"] == \
+        pytest.approx(100.0)
+    assert r_without["pedestrian"]["image"]["easy"]["ap_r40"] < 100.0
+
+
+def test_truncation_gating_end_to_end(tmp_path):
+    """A GT truncated at 0.2 is ignored at easy (trunc<=0.15) but REQUIRED
+    at moderate (<=0.3): missing it costs moderate AP only
+    (r40.cpp difficulty gates :43-45)."""
+    frames = []
+    for f in range(6):
+        gts, dets = _spread_gt(7, seed=80 + f)
+        trunc_box = dict(x1=900.0, y1=100.0, x2=980.0, y2=160.0,
+                         t1=55.0, t3=18.0)
+        g = obj(**trunc_box)
+        g.truncation = 0.2
+        gts = gts + [g]          # never detected
+        frames.append((gts, dets))
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    r = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    assert r["car"]["image"]["easy"]["ap_r40"] == pytest.approx(100.0)
+    assert r["car"]["image"]["moderate"]["ap_r40"] < 100.0
+
+
+# ------------------------------------------------------------- server mode
+
+def _ped_frames(n_frames=6, bev_shift=0.0):
+    """Pedestrian GT/dets whose BEV boxes are shifted by `bev_shift` m."""
+    frames = []
+    for f in range(n_frames):
+        gts, dets = [], []
+        for i in range(7):              # 7 x 6 frames = 42 >= 41 recall pts
+            x = 10.0 + 120.0 * i
+            g = _ped(x1=x, y1=100.0, x2=x + 40.0, y2=160.0,
+                     t1=-30.0 + 10.0 * i, t3=12.0)
+            d = _ped(**{**g.__dict__})
+            d.t1 += bev_shift        # shift along the 0.9m length axis
+            d.score = 1.0 - 0.02 * i
+            gts.append(g)
+            dets.append(d)
+        frames.append((gts, dets))
+    return frames
+
+
+def test_server_mode_looser_ped_bev_gate(tmp_path):
+    """BEV IoU ~0.38 pedestrian boxes: FP offline (gate 0.5) but TP on the
+    server (gate 0.25; evaluate_object_3d.cpp:54)."""
+    # 0.9x0.6m boxes shifted 0.4m along length: inter 0.5*0.6=0.3,
+    # union 2*0.54-0.3=0.78 -> IoU 0.3846 (between the 0.25 and 0.5 gates)
+    frames = _ped_frames(bev_shift=0.4)
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    off = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    srv = ke.evaluate(gt_dir, res_dir, write_stats=False, server=True,
+                      n_testimages=len(frames))
+    assert srv["pedestrian"]["ground"]["easy"]["ap_r40"] == \
+        pytest.approx(100.0)
+    assert off["pedestrian"]["ground"]["easy"]["ap_r40"] < 50.0
+    # image-metric gates are identical in both modes
+    assert srv["pedestrian"]["image"]["easy"]["ap_r40"] == \
+        pytest.approx(off["pedestrian"]["image"]["easy"]["ap_r40"])
+
+
+def test_server_mode_requires_all_files(tmp_path):
+    frames = _ped_frames(n_frames=4)
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    with pytest.raises(FileNotFoundError):
+        ke.evaluate(gt_dir, res_dir, write_stats=False, server=True,
+                    n_testimages=5)
+
+
+@pytest.mark.skipif(not os.path.exists(CPP_BIN),
+                    reason="C++ evaluator not built")
+def test_cpp_server_mode_matches_python(tmp_path):
+    frames = _ped_frames(bev_shift=0.4)
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    py = ke.evaluate(gt_dir, res_dir, write_stats=False, server=True,
+                     n_testimages=len(frames))
+    out = subprocess.run([CPP_BIN, f"--server={len(frames)}", gt_dir,
+                          res_dir], capture_output=True, text=True,
+                         check=True)
+    path = os.path.join(res_dir, "stats_pedestrian_detection_ground.txt")
+    rows = [list(map(float, line.split()))
+            for line in open(path).read().splitlines() if line.strip()]
+    for diff_idx, diff in enumerate(("easy", "moderate", "hard")):
+        np.testing.assert_allclose(
+            rows[diff_idx], py["pedestrian"]["ground"][diff]["precision"],
+            atol=1e-6)
+    # missing-file abort
+    os.remove(os.path.join(res_dir, "data", "000003.txt"))
+    r = subprocess.run([CPP_BIN, f"--server={len(frames)}", gt_dir, res_dir],
+                       capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "missing" in r.stderr
+
+
+# ------------------------------------------------------------------- plots
+
+def test_pr_curve_plot_emission(tmp_path):
+    """stats files -> PNG artifacts in <result_dir>/plot (reference parity:
+    gnuplot emission, r40.cpp:708-776)."""
+    from egonet_tpu.eval import plots
+    frames = [(g, d) for g, d in (_spread_gt(5, seed=s) for s in range(6))]
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    ke.evaluate(gt_dir, res_dir, write_stats=True)
+    written = plots.plot_pr_curves(res_dir)
+    names = {os.path.basename(p) for p in written}
+    assert "car_detection.png" in names
+    assert "car_orientation.png" in names
+    for p in written:
+        assert os.path.getsize(p) > 1000

@@ -153,6 +153,11 @@ def main(argv=None):
         out = subprocess.check_output(f"{evaluator} {label_dir} {output_dir}",
                                       shell=True)
         print(out.decode())
+        # PR-curve artifacts from the stats files (reference parity:
+        # r40.cpp:708-776 emits gnuplot figures into <result_dir>/plot)
+        from egonet_tpu.eval.plots import plot_pr_curves
+        for p in plot_pr_curves(output_dir):
+            logger.info(f"wrote {p}")
         return out
 
 
