@@ -45,22 +45,27 @@ class FCModel(nn.Module):
         return y.astype(self.dtype)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 apply_dropout: bool | None = None):
+        """``apply_dropout=True`` keeps dropout stochastic while BN uses
+        running statistics — the reference's dropout-at-test evaluation
+        option (trainer.py:424-428, testing_settings.apply_dropout)."""
+        drop = train if apply_dropout is None else bool(apply_dropout)
         x = x.astype(self.dtype)
         y = self._dense(x, self.num_neurons, "w1")
         y = self._bn(y, "batch_norm1", train)
         y = self._act(y)
-        y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
+        y = nn.Dropout(self.p_dropout, deterministic=not drop)(y)
         for i in range(self.num_blocks):
             p = f"res_blocks.{i}"
             z = self._dense(y, self.num_neurons, f"{p}.w1")
             z = self._bn(z, f"{p}.batch_norm1", train)
             z = self._act(z)
-            z = nn.Dropout(self.p_dropout, deterministic=not train)(z)
+            z = nn.Dropout(self.p_dropout, deterministic=not drop)(z)
             z = self._dense(z, self.num_neurons, f"{p}.w2")
             z = self._bn(z, f"{p}.batch_norm2", train)
             z = self._act(z)
-            z = nn.Dropout(self.p_dropout, deterministic=not train)(z)
+            z = nn.Dropout(self.p_dropout, deterministic=not drop)(z)
             y = y + z
         out = self._dense(y, self.output_size, "w2")
         return out.astype(jnp.float32)

@@ -79,11 +79,20 @@ class LiftingTrainer:
         return step
 
     def _make_eval_step(self):
+        # optional dropout-at-test: loss comparable to the training loss
+        # (reference trainer.py:424-428)
+        apply_dropout = bool(self.cfgs.get("testing_settings", {})
+                             .get("apply_dropout", False))
+
         @jax.jit
         def step(state: TrainState, batch):
+            kwargs = {}
+            if apply_dropout:
+                kwargs = {"apply_dropout": True,
+                          "rngs": {"dropout": jax.random.PRNGKey(0)}}
             out = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                batch["input"], train=False)
+                batch["input"], train=False, **kwargs)
             return out
         return step
 

@@ -46,3 +46,19 @@ def model_summary(model, sample_input, variables=None, train: bool = False,
     if flops is not None:
         text += f"\nTotal FLOPs (per batch forward): {flops:,}"
     return {"params": n_params, "flops": flops, "text": text}
+
+
+def per_layer_summary(model, sample_input, train: bool = False,
+                      depth: int | None = None) -> str:
+    """Per-module breakdown: path, input/output shapes, FLOPs and parameter
+    counts for every named submodule (reference parity: the verbose
+    ``get_model_summary`` table, libs/common/utils.py:35-147, which prints
+    name/in/out/params/multiply-adds rows via forward hooks; here the rows
+    come from a shape trace of the module tree)."""
+    import jax.random as jrandom
+    kwargs = {"compute_flops": True,
+              "console_kwargs": {"width": 180, "force_terminal": False}}
+    if depth is not None:
+        kwargs["depth"] = depth
+    return model.tabulate(jrandom.PRNGKey(0), sample_input, train=train,
+                          **kwargs)

@@ -192,3 +192,39 @@ def test_loader_image_cache_byte_cap(kitti_root):
     # oversized entries are not cached
     cache.put("big", np.zeros((100, 100), np.uint8))
     assert cache.get("big") is None
+
+
+def test_per_layer_summary():
+    from egonet_tpu.models.fc_lifter import FCModel
+    from egonet_tpu.utils.summary import per_layer_summary
+    m = FCModel(input_size=66, output_size=96, num_neurons=128, num_blocks=1)
+    txt = per_layer_summary(m, jnp.zeros((1, 66)))
+    # per-module rows with path + flops columns (reference verbose table)
+    assert "w1" in txt and "res_blocks.0.w2" in txt
+    assert "flops" in txt and "params" in txt
+
+
+def test_dropout_at_test_option(kitti_root):
+    """testing_settings.apply_dropout keeps dropout stochastic at eval while
+    BN uses running stats (reference trainer.py:424-428)."""
+    from egonet_tpu.train.lifting import LiftingTrainer
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "egonet_tpu", "configs",
+                                   "KITTI_train_lifting.yml"))
+    cfg["dataset"]["root"] = kitti_root
+    cfg["FCModel"].update({"input_size": 66, "output_size": 96,
+                           "num_neurons": 64})
+    x = np.random.RandomState(0).randn(32, 66).astype(np.float32)
+
+    def predict(apply_dropout):
+        c = copy.deepcopy(cfg)
+        c.setdefault("testing_settings", {})["apply_dropout"] = apply_dropout
+        tr = LiftingTrainer(c)
+        state = tr.init_state(0)
+        return tr.predict(state, x, batch_size=32)
+
+    plain = predict(False)
+    dropped = predict(True)
+    plain2 = predict(False)
+    np.testing.assert_array_equal(plain, plain2)      # deterministic
+    assert np.abs(plain - dropped).max() > 1e-6       # dropout changes eval

@@ -64,11 +64,15 @@ def main(argv=None):
         variables = checkpoint.merge_partial(dict(init), partial)
 
     # parameter/FLOPs summary (reference get_model_summary at startup)
-    from egonet_tpu.utils.summary import model_summary
+    from egonet_tpu.utils.summary import model_summary, per_layer_summary
     import jax.numpy as jnp_
     w, h = cfgs["heatmapModel"]["input_size"]
     summary = model_summary(trainer.model, jnp_.zeros((1, h, w, 3)))
     logger.info(summary["text"])
+    if cfgs.get("training_settings", {}).get("verbose_summary"):
+        # the reference's verbose per-layer table (utils.py:35-147)
+        logger.info("\n" + per_layer_summary(trainer.model,
+                                             jnp_.zeros((1, h, w, 3))))
 
     state = trainer.init_state(0, variables=variables)
     ckpt_out = os.path.join(out_dir, "checkpoints")
