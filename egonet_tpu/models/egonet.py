@@ -39,10 +39,16 @@ from egonet_tpu.io import torch_convert
 
 
 def _round_up_bucket(n: int, minimum: int = 8) -> int:
+    """Instance-count bucket: powers of two up to 128, then multiples of
+    128 (MXU lane-aligned).  NOT pure powers of two above 128 — the batch
+    sweet spot is 384 and jumping 384->512 falls off the measured VMEM
+    cliff (1981 -> ~500 crops/s)."""
     b = minimum
-    while b < n:
+    while b < n and b < 128:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return ((n + 127) // 128) * 128
 
 
 class EgoNet:
@@ -211,6 +217,21 @@ class EgoNet:
         Returns per-image record dicts keyed by path (reference forward
         contract, egonet.py:488-507).
         """
+        pending = self.dispatch_annot_dict(annot_dict, enlarge, alpha_mode,
+                                           canvas_hw)
+        return self.finalize(pending)
+
+    def dispatch_annot_dict(self, annot_dict: dict, enlarge: float = 1.1,
+                            alpha_mode: str = "proj",
+                            canvas_hw=(384, 1280)):
+        """Host-prep one batch and ASYNCHRONOUSLY dispatch the fused device
+        program; returns a pending handle for :meth:`finalize`.
+
+        jax dispatch is non-blocking, so the caller can prepare the next
+        batch (image decode, crop matrices) while the device runs this one —
+        the host/device overlap the reference's synchronous per-batch loop
+        (inference.py:136-199) never had.  None means the batch was empty.
+        """
         width, height = self.resolution
         target_ar = height / width
         paths = annot_dict["path"]
@@ -219,9 +240,17 @@ class EgoNet:
         images = np.zeros((n_img, canvas_hw[0], canvas_hw[1], 3), np.uint8)
         inv_mats, img_idx, centers, scales, rbs = [], [], [], [], []
         per_image_counts = []
+        if "images" in annot_dict:
+            decoded = annot_dict["images"]
+        else:
+            # parallel decode: cv2 releases the GIL and PNG decode would
+            # otherwise serialize against device compute
+            if not hasattr(self, "_decode_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+                self._decode_pool = ThreadPoolExecutor(max_workers=8)
+            decoded = list(self._decode_pool.map(self.load_image, paths))
         for i, path in enumerate(paths):
-            img = (annot_dict["images"][i] if "images" in annot_dict
-                   else self.load_image(path))
+            img = decoded[i]
             h, w = img.shape[:2]
             if h > canvas_hw[0] or w > canvas_hw[1]:
                 raise ValueError(
@@ -241,7 +270,7 @@ class EgoNet:
 
         n_total = int(sum(per_image_counts))
         if n_total == 0:
-            return {}
+            return None
         inv_mats = np.concatenate(inv_mats).astype(np.float32)
         centers = np.concatenate(centers)
         scales = np.concatenate(scales)
@@ -292,6 +321,20 @@ class EgoNet:
                         jnp.asarray(K_f), jnp.asarray(K_cx))
         out = self._get_jitted(alpha_mode)(
             self.hrnet_vars, self.lifter_vars, ls, *dev_args)
+        ctx = dict(annot_dict=annot_dict, paths=paths,
+                   per_image_counts=per_image_counts, centers=centers,
+                   scales=scales, rbs=rbs)
+        return out, ctx
+
+    def finalize(self, pending) -> dict:
+        """Fetch a dispatched batch's outputs and regroup them per image."""
+        if pending is None:
+            return {}
+        out, ctx = pending
+        annot_dict = ctx["annot_dict"]
+        paths = ctx["paths"]
+        per_image_counts = ctx["per_image_counts"]
+        centers, scales, rbs = ctx["centers"], ctx["scales"], ctx["rbs"]
         out = {k: np.asarray(v) for k, v in out.items()}
 
         # regroup per image
@@ -363,6 +406,36 @@ class EgoNet:
                 overlays.plot_3d_objects(
                     rec, save_path=os.path.join(out_dir, f"{stem}_3d.png"))
         return records
+
+    def stream_annot_dicts(self, annot_iter, depth: int = 2, **kwargs):
+        """Pipelined inference over an iterable of annotation dicts.
+
+        A producer thread runs host prep (decode, crop matrices, canvas
+        assembly) and enqueues the async device dispatch up to ``depth``
+        batches ahead; the consumer yields finalized per-image records.
+        Host decode, host->device transfer and device compute of different
+        batches all overlap.
+        """
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        sentinel = object()
+
+        def produce():
+            try:
+                for annot in annot_iter:
+                    q.put(self.dispatch_annot_dict(annot, **kwargs))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield self.finalize(item)
 
     def __call__(self, annot_dict: dict, **kwargs) -> dict:
         return self.forward_annot_dict(annot_dict, **kwargs)

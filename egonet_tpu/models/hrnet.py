@@ -88,6 +88,13 @@ class PoseHighResolutionNet(nn.Module):
     final_conv_kernel: int = 1
     in_channels: int = 3
     dtype: Any = jnp.float32
+    # activation transport between conv fusions: "none" | "int8".
+    # The W48 inference program is HBM-bandwidth-bound (branch activations
+    # at 64x64/32x32 move ~20 GB/batch); storing inter-block tensors as
+    # uint8 halves that traffic.  Post-ReLU activations are non-negative,
+    # so an asymmetric [0, act_quant_scale] -> [0, 255] code is used.
+    act_quant: str = "none"
+    act_quant_scale: float = 8.0
 
     # ---------------- primitive layers ----------------
 
@@ -115,6 +122,21 @@ class PoseHighResolutionNet(nn.Module):
                          param_dtype=jnp.float32, name=name)(x)
         return y.astype(self.dtype)
 
+    def _transport(self, x):
+        """Quantize-dequantize a post-ReLU tensor crossing a fusion boundary
+        (uint8 storage when act_quant='int8'; identity otherwise)."""
+        if self.act_quant != "int8":
+            return x
+        inv_step = 255.0 / self.act_quant_scale
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_step),
+                     0.0, 255.0).astype(jnp.uint8)
+        # the barrier pins the UINT8 tensor as the materialized fusion
+        # output (otherwise XLA fuses the dequant back into the producer
+        # and the boundary tensor stays bf16 — no bandwidth saved)
+        q = jax.lax.optimization_barrier(q)
+        return (q.astype(self.dtype)
+                * jnp.asarray(1.0 / inv_step, self.dtype))
+
     # ---------------- blocks ----------------
 
     def _basic_block(self, x, planes, stride, prefix, train,
@@ -130,7 +152,7 @@ class PoseHighResolutionNet(nn.Module):
             residual = self._conv(x, planes, 1, stride,
                                   f"{prefix}.downsample.0", padding=0)
             residual = self._bn(residual, f"{prefix}.downsample.1", train)
-        return nn.relu(y + residual)
+        return self._transport(nn.relu(y + residual))
 
     def _bottleneck(self, x, planes, stride, prefix, train):
         expansion = 4
@@ -148,7 +170,7 @@ class PoseHighResolutionNet(nn.Module):
             residual = self._conv(x, planes * expansion, 1, stride,
                                   f"{prefix}.downsample.0", padding=0)
             residual = self._bn(residual, f"{prefix}.downsample.1", train)
-        return nn.relu(y + residual)
+        return self._transport(nn.relu(y + residual))
 
     def _block(self, kind):
         return self._basic_block if kind == "basic" else self._bottleneck
@@ -168,7 +190,7 @@ class PoseHighResolutionNet(nn.Module):
                 if x_list[i].shape[-1] != ch:
                     y = self._conv(x_list[-1], ch, 3, 1, f"{prefix}.{i}.0")
                     y = self._bn(y, f"{prefix}.{i}.1", train)
-                    outs.append(nn.relu(y))
+                    outs.append(self._transport(nn.relu(y)))
                 else:
                     outs.append(x_list[i])
             else:
@@ -228,7 +250,7 @@ class PoseHighResolutionNet(nn.Module):
                                                                    2) + t
             if up_acc is not None:
                 acc = acc + _upsample_nearest(up_acc, 2)
-            fused.append(nn.relu(acc))
+            fused.append(self._transport(nn.relu(acc)))
         return fused
 
     def _stage(self, x_list, cfg: StageCfg, prefix, train,
@@ -354,4 +376,6 @@ def build_hrnet(cfgs: dict, dtype=jnp.float32) -> PoseHighResolutionNet:
         final_conv_kernel=int(extra.get("final_conv_kernel", 1)),
         in_channels=in_ch,
         dtype=dtype,
+        act_quant=str(hm.get("act_quant", "none")),
+        act_quant_scale=float(hm.get("act_quant_scale", 8.0)),
     )

@@ -151,3 +151,28 @@ def test_batched_affine_transform(rng):
     for i in range(4):
         expect = affine.affine_transform_pts(pts[i], mats[i])
         np.testing.assert_allclose(got[i], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_crop_matrices_closed_form_matches_three_point_solve(rng):
+    """The vectorized closed-form crop matrices equal the generic 3-point
+    affine construction for rot=0 crops (incl. nonsquare outputs)."""
+    from egonet_tpu.ops import affine
+    boxes = np.stack([
+        np.array([x, y, x + w, y + h])
+        for x, y, w, h in zip(rng.uniform(0, 900, 50),
+                              rng.uniform(0, 200, 50),
+                              rng.uniform(20, 300, 50),
+                              rng.uniform(15, 150, 50))])
+    for out_hw, target_ar in (((256, 256), 1.0), ((128, 96), 128 / 96)):
+        got = affine.crop_matrices_for_boxes(boxes, out_hw, target_ar, 1.2)
+        for i, bbox in enumerate(boxes):
+            ret = affine.modify_bbox(bbox, target_ar, 1.2)
+            c, s = ret["c"], ret["s"]
+            fwd = affine.get_affine_transform(c, s, 0.0, out_hw)
+            inv = affine.get_affine_transform(c, s, 0.0, out_hw, inv=True)
+            np.testing.assert_allclose(got["fwd"][i], fwd, atol=1e-9)
+            np.testing.assert_allclose(got["inv"][i], inv, atol=1e-9)
+            np.testing.assert_allclose(got["center"][i], c, atol=1e-12)
+            np.testing.assert_allclose(got["scale"][i], s, atol=1e-12)
+            np.testing.assert_allclose(got["bbox_resize"][i], ret["bbox"],
+                                       atol=1e-9)

@@ -72,13 +72,28 @@ def make_output_dir(cfgs, name):
 
 
 def inference(dataset, model, results, cfgs, logger):
-    """The inference loop (ref inference.py:136-199)."""
+    """The inference loop (ref inference.py:136-199), pipelined: while the
+    device runs batch i, the host decodes + preps batch i+1 and emits batch
+    i-1's txt files (jax dispatch is asynchronous; EgoNet exposes
+    dispatch/finalize halves for exactly this double-buffering)."""
     alpha_mode = cfgs.get("testing_settings", {}).get("alpha_mode", "proj")
     batch_size = int(cfgs.get("testing_settings", {}).get("batch_size", 1))
     names = dataset.image_names
     enlarge = cfgs["dataset"].get("enlarge_factor", 1.2)
     width, height = cfgs["heatmapModel"]["input_size"]
     thres = cfgs.get("conf_thres", 0.0)
+    visualize = cfgs.get("visualize", False)
+
+    pending = []                       # [(handle, save_dir)] in flight
+
+    def flush(limit: int):
+        while len(pending) > limit:
+            handle, save_dir = pending.pop(0)
+            records = model.finalize(handle)
+            model.post_process(records,
+                               save_dict={"flag": True,
+                                          "save_dir": save_dir},
+                               visualize=visualize)
 
     for start in range(0, len(names), batch_size):
         chunk = names[start:start + batch_size]
@@ -95,11 +110,9 @@ def inference(dataset, model, results, cfgs, logger):
                 annot["K"].append(rec["K"])
                 annot["raw_txt_format"].append(rec["raw_txt_format"])
             if annot["path"]:
-                records = model(annot, enlarge=1.1, alpha_mode=alpha_mode)
-                model.post_process(records,
-                                   save_dict={"flag": True,
-                                              "save_dir": save_dir},
-                                   visualize=cfgs.get("visualize", False))
+                pending.append((model.dispatch_annot_dict(
+                    annot, enlarge=1.1, alpha_mode=alpha_mode), save_dir))
+                flush(1)
         if cfgs.get("use_pred_box") and "pred" in results:
             annot = gather_dict({"path": paths}, results["pred"],
                                 thres=thres, target_ar=height / width,
@@ -107,13 +120,12 @@ def inference(dataset, model, results, cfgs, logger):
             if annot["path"]:
                 save_dir = make_output_dir(cfgs, "submission")
                 # boxes were already enlarged by gather_dict; crop as-is
-                records = model(annot, enlarge=1.0, alpha_mode=alpha_mode)
-                model.post_process(records,
-                                   save_dict={"flag": True,
-                                              "save_dir": save_dir},
-                                   visualize=cfgs.get("visualize", False))
+                pending.append((model.dispatch_annot_dict(
+                    annot, enlarge=1.0, alpha_mode=alpha_mode), save_dir))
+                flush(1)
         if start // batch_size >= cfgs.get("batch_to_show", 10 ** 9) - 1:
             break
+    flush(0)
 
 
 def main(argv=None):
