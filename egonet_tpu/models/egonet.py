@@ -97,7 +97,22 @@ class EgoNet:
     def to_device(self, device=None):
         """Commit parameters + stats to the accelerator(s) ONCE.  Without
         this the weights stay host-resident and every jitted call
-        re-transfers ~256MB through the TPU tunnel."""
+        re-transfers ~256MB through the TPU tunnel.
+
+        bf16 runs pre-cast conv/dense kernels to bf16 here: numerically
+        identical to flax's per-call cast (same rounding), but the cast —
+        and the fp32 weight reads feeding it — leave the hot path, and the
+        weights ship through the tunnel at half size."""
+        if self.dtype == jnp.bfloat16:
+            def cast_kernels(tree):
+                def leaf(path, x):
+                    name = path[-1].key if hasattr(path[-1], "key") else ""
+                    if name in ("kernel",):
+                        return jnp.asarray(x, jnp.bfloat16)
+                    return x
+                return jax.tree_util.tree_map_with_path(leaf, tree)
+            self.hrnet_vars = cast_kernels(self.hrnet_vars)
+            self.lifter_vars = cast_kernels(self.lifter_vars)
         if self.mesh is not None:
             from egonet_tpu.parallel import mesh as pmesh
             target = pmesh.replicated_sharding(self.mesh)
@@ -158,11 +173,14 @@ class EgoNet:
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
 
-        # crops are rotation-free -> separable warp runs on the MXU
+        # crops are rotation-free -> separable warp runs on the MXU; bf16
+        # runs keep the warp intermediates bf16 (halves their HBM traffic)
         patches = affine.warp_affine_separable(images, inv_mats, img_idx,
-                                               (height, width))
+                                               (height, width),
+                                               dtype=self.dtype)
         # match the reference's uint8 warp output before ToTensor()
-        crops = (jnp.round(patches) / 255.0 - mean) / std   # [N, H, W, 3]
+        crops = (jnp.round(patches.astype(jnp.float32))
+                 / 255.0 - mean) / std                      # [N, H, W, 3]
 
         _maps, coords = self.hrnet.apply(hrnet_vars, crops, train=False)
         local = coords * jnp.asarray([width, height], jnp.float32)

@@ -401,7 +401,8 @@ def _interp_weights(start: jax.Array, step: jax.Array, n_out: int,
 def warp_affine_separable(images: jax.Array,
                           inv_mats: jax.Array,
                           img_idx: jax.Array,
-                          out_hw) -> jax.Array:
+                          out_hw,
+                          dtype=jnp.float32) -> jax.Array:
     """Axis-aligned (rotation-free) affine warp as two batched matmuls.
 
     TPU-native formulation: arbitrary-gather bilinear sampling is ~100x
@@ -413,7 +414,10 @@ def warp_affine_separable(images: jax.Array,
         out[n] = Ry[n] @ img[idx[n]] @ Rx[n]^T
 
     images: [B, H, W, C] (any real dtype); inv_mats: [N, 2, 3] axis-aligned
-    patch->source affines; img_idx: [N].  Returns [N, out_h, out_w, C] f32.
+    patch->source affines; img_idx: [N].  Returns [N, out_h, out_w, C] in
+    ``dtype`` (f32 default; pass bf16 to halve the warp's intermediate HBM
+    traffic — the [N, out_h, W, C] row-pass tensor is ~1.5 GB/384-batch in
+    f32 — with accumulation still f32 on the MXU).
     """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     h, w = images.shape[1], images.shape[2]
@@ -433,9 +437,9 @@ def warp_affine_separable(images: jax.Array,
                              dtype=jnp.bfloat16)               # [out_w, W]
         img = imgs_f[idx]                                      # [H, W, C]
         tmp = jnp.einsum("yh,hwc->ywc", ry, img, precision=precision,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=dtype)
         return jnp.einsum("xw,ywc->yxc", rx, tmp, precision=precision,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=dtype)
 
     return jax.vmap(one)(inv_mats, img_idx)
 

@@ -187,3 +187,54 @@ def fused_basic_block_stencil(xT: jax.Array, params: dict, *,
         ],
         interpret=interpret,
     )(xp, params["w1"], params["b1"], params["w2p"], params["b2"])
+
+
+# ---------------------------------------------------------------------------
+# Toolchain probe (VERDICT r2 task: keep the kernel parked but cheap to
+# revive) — the stencil becomes competitive only with wide column tiles,
+# which the current remote compile helper rejects.  probe_wide_tile()
+# attempts an actual compilation at the competitive width so the kernel
+# auto-enables the day the toolchain ceiling lifts.
+# ---------------------------------------------------------------------------
+
+_PROBE_CACHE: dict = {}
+
+
+def probe_wide_tile(tile_cols: int = 32, channels: int = 48,
+                    width: int = 64) -> bool:
+    """True iff the current toolchain compiles the stencil kernel at a
+    column-tile width that amortizes the per-grid-step overhead (>= 16).
+    Result is cached per (tile_cols, channels, width)."""
+    key = (tile_cols, channels, width)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    ok = False
+    try:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(channels, 8, width), jnp.float32)
+        params = pack_stencil_weights(
+            rng.randn(3, 3, channels, channels) * 0.05,
+            {"scale": np.ones(channels), "bias": np.zeros(channels),
+             "mean": np.zeros(channels), "var": np.ones(channels)},
+            rng.randn(3, 3, channels, channels) * 0.05,
+            {"scale": np.ones(channels), "bias": np.zeros(channels),
+             "mean": np.zeros(channels), "var": np.ones(channels)})
+        out = fused_basic_block_stencil(x, params, tile_cols=tile_cols)
+        ok = bool(np.isfinite(np.asarray(out)).all())
+    except Exception:
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def stencil_enabled(flag: str | None = None) -> bool:
+    """Resolve the EGONET_PALLAS_STENCIL flag: '1' forces on, '0' (default)
+    keeps the production XLA path, 'auto' probes the toolchain."""
+    import os
+    flag = flag if flag is not None else os.environ.get(
+        "EGONET_PALLAS_STENCIL", "0")
+    if flag == "1":
+        return True
+    if flag == "auto":
+        return probe_wide_tile()
+    return False

@@ -124,3 +124,38 @@ def test_alpha_wrap():
         while a < -math.pi:
             a += 2 * math.pi
         assert abs(alphas[i] - a) < 1e-6
+
+
+def test_quaternion_kabsch_matches_svd_kabsch(rng):
+    """Horn quaternion rotation == SVD+reflection-fix rotation, including
+    det<0 (mirrored) covariances."""
+    from egonet_tpu.geometry import rigid
+    import jax.numpy as jnp
+    for i in range(20):
+        X = rng.randn(3, 32)
+        Y = rng.randn(3, 32) if i % 2 else \
+            0.5 * X + rng.randn(3, 1) + 0.2 * rng.randn(3, 32)
+        R1, t1 = rigid.kabsch(jnp.asarray(X), jnp.asarray(Y), "svd")
+        R2, t2 = rigid.kabsch(jnp.asarray(X), jnp.asarray(Y), "quaternion")
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-3)
+
+
+def test_six_dof_quaternion_matches_svd(rng):
+    """Batched angles agree between the fused quaternion path and the
+    per-instance SVD path on realistic noisy cuboids."""
+    from egonet_tpu.geometry import rigid
+    from egonet_tpu.data import cuboid as cb
+    import jax.numpy as jnp
+    preds = []
+    for i in range(16):
+        box = cb.construct_box_3d(3.9 + 0.2 * rng.randn(), 1.5, 1.7,
+                                  interpolate=True)
+        rel = (box[:, 1:] - box[:, :1])
+        rot = cb.rot_y_matrix(float(rng.uniform(-np.pi, np.pi)))
+        preds.append((rot @ rel).T + 0.02 * rng.randn(32, 3))
+    preds = jnp.asarray(np.stack(preds), jnp.float32)
+    a_q, t_q = rigid.six_dof_from_cuboids(preds, method="quaternion")
+    a_s, t_s = rigid.six_dof_from_cuboids(preds, method="svd")
+    np.testing.assert_allclose(np.asarray(a_q), np.asarray(a_s), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(t_q), np.asarray(t_s))

@@ -75,3 +75,19 @@ def test_stencil_block_matches_reference(rng, H, W, C, B, TW):
                                        interpret=True)
     got = np.transpose(np.asarray(yT, dtype=np.float32), (3, 0, 1, 2))
     np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
+
+
+def test_stencil_flag_gating(monkeypatch):
+    """EGONET_PALLAS_STENCIL: '0' off, '1' forced on, 'auto' probes the
+    toolchain (VERDICT r1 task 10 — parked but cheap to revive)."""
+    from egonet_tpu.ops import pallas_block_stencil as s
+    assert s.stencil_enabled("0") is False
+    assert s.stencil_enabled("1") is True
+    monkeypatch.setenv("EGONET_PALLAS_STENCIL", "0")
+    assert s.stencil_enabled() is False
+    # auto consults the (cached) probe and returns a bool either way
+    s._PROBE_CACHE[(32, 48, 64)] = False
+    assert s.stencil_enabled("auto") is False
+    s._PROBE_CACHE[(32, 48, 64)] = True
+    assert s.stencil_enabled("auto") is True
+    s._PROBE_CACHE.clear()
