@@ -159,6 +159,10 @@ def test_igr_multichip_training_nondivisible_cap(kitti_root):
     assert np.isfinite(float(metrics["loss"]))
     state, metrics = trainer.train_step(state, batch, apply_cr=True)
     assert np.isfinite(float(metrics["loss"]))
+    # the sharded EVALUATION path goes through the same padding fix
+    ev = trainer.evaluate(state, ds.records)
+    assert ev.metrics[0].count > 0
+    assert np.isfinite(ev.metrics[0].mean)
 
 
 def test_visualize_cli_str2bool():
