@@ -69,8 +69,6 @@ class EgoNet:
         self.lifter = build_fc_model(cfgs, dtype=dtype)
 
         width, height = self.resolution
-        key = jax.random.PRNGKey(rng_seed)
-        k1, k2 = jax.random.split(key)
         in_ch = 5 if self.add_xy else 3
         # shape-traced NumPy initialization: instant, no XLA compile
         from egonet_tpu.models.initialization import numpy_init
@@ -79,7 +77,6 @@ class EgoNet:
         self.lifter_vars = numpy_init(
             self.lifter, rng_seed + 1,
             jnp.zeros((1, int(cfgs["FCModel"]["input_size"]))))
-        del k1, k2
         self.ls_stats = {
             "mean_in": np.zeros((1, cfgs["FCModel"]["input_size"]),
                                 np.float32),

@@ -20,7 +20,7 @@ control flow here is config-driven, traced once under jit).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 import jax

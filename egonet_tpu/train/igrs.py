@@ -149,6 +149,8 @@ class IGRTrainer:
 
     def _device_batch(self, batch):
         batch = {k: v for k, v in batch.items() if k != "meta"}
+        if isinstance(batch.get("mask"), jax.Array):
+            return batch                    # already transferred (prefetch)
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         # the sharded instance axis must divide the mesh (MAX_INS_CNT=140
@@ -242,7 +244,8 @@ class IGRTrainer:
             t0 = time.time()
             n_batches = 0
             running = 0.0
-            for batch in loader.prefetched_epoch():
+            for batch in loader.prefetched_epoch(
+                    device_fn=self._device_batch):
                 state, metrics = self.train_step(state, batch, apply_cr)
                 n_batches += 1
                 running += float(metrics["loss"])
