@@ -494,3 +494,53 @@ def test_hrnet_w48_full_scale_conversion_parity(rng):
                                ref_coords.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_maps),
                                ref_maps.numpy(), atol=2e-4)
+
+
+def test_hrnet_w32_ped_full_scale_conversion_parity(rng):
+    """The second shipped model family (KITTI_train_IGRs_Ped.yml: W32,
+    192x192 input, 48x48 heatmaps, head2 final 3x3 conv) through
+    torch_to_flax + forward at full scale."""
+    import torch
+    from libs.model.heatmapModel.hrnet import get_pose_net
+    from egonet_tpu.config import load_config
+    from egonet_tpu.models.hrnet import build_hrnet
+    from egonet_tpu.models.initialization import numpy_init
+    from egonet_tpu.io import torch_convert as tc
+    import jax
+
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    cfg = load_config(os.path.join(here, "KITTI_train_IGRs_Ped.yml"))
+    assert cfg["heatmapModel"]["input_size"] == [192, 192]
+    assert cfg["heatmapModel"]["extra"]["stage4"]["num_channels"][0] == 32
+
+    torch.manual_seed(1)
+    ref_model = get_pose_net(cfg, is_train=False).eval()
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+    sd = {k: v for k, v in ref_model.state_dict().items()}
+    assert tuple(sd["head2.4.weight"].shape[2:]) == (3, 3)   # 48/16
+
+    variables = tc.torch_to_flax(sd)
+    model = build_hrnet(cfg)
+    init = numpy_init(model, 0, jnp.zeros((1, 192, 192, 3)))
+    problems = tc.check_conversion(
+        {k: dict(v) for k, v in dict(init).items()}, variables)
+    assert problems == [], problems[:5]
+
+    x = (rng.randn(1, 3, 192, 192) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_maps, ref_coords = ref_model(torch.from_numpy(x))
+    import functools
+    apply = jax.jit(functools.partial(model.apply, train=False))
+    got_maps, got_coords = apply(variables,
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_coords),
+                               ref_coords.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_maps),
+                               ref_maps.numpy(), atol=2e-4)
