@@ -244,15 +244,24 @@ class IGRTrainer:
             t0 = time.time()
             n_batches = 0
             running = 0.0
+            # fetch each step's loss one step LATE: blocking on step i's
+            # scalar before dispatching i+1 serializes a device round-trip
+            # per step; a depth-1 window keeps the device busy
+            pending_loss = None
             for batch in loader.prefetched_epoch(
                     device_fn=self._device_batch):
                 state, metrics = self.train_step(state, batch, apply_cr)
                 n_batches += 1
-                running += float(metrics["loss"])
-                if self.logger and n_batches % report_every == 0:
+                if pending_loss is not None:
+                    running += float(pending_loss)
+                pending_loss = metrics["loss"]
+                if self.logger and n_batches > 1 \
+                        and n_batches % report_every == 0:
                     self.logger.info(
                         f"epoch {epoch} batch {n_batches} "
-                        f"loss {running / n_batches:.5f}")
+                        f"loss {running / (n_batches - 1):.5f}")
+            if pending_loss is not None:
+                running += float(pending_loss)
             dt = time.time() - t0
             history.append({"epoch": epoch,
                             "loss": running / max(n_batches, 1),
