@@ -319,3 +319,26 @@ def test_loss_curve_artifact(tmp_path):
         [{"epoch": 0, "loss": 1.0}, {"epoch": 1, "loss": 0.5}],
         str(tmp_path / "loss.png"))
     assert os.path.exists(path)
+
+
+def test_generate_empty_files(tmp_path):
+    """Test-split submissions need an (empty) txt per calib frame
+    (ref inference.py:201-213)."""
+    from egonet_tpu.io import kitti_writer
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    for i in range(3):
+        (calib / f"{i:06d}.txt").write_text("P2: 1 0 0 0\n")
+    (calib / "notes.md").write_text("ignored")
+    data = tmp_path / "out" / "data"
+    data.mkdir(parents=True)
+    (data / "000001.txt").write_text("Car 0 0 0 ...\n")
+    n = kitti_writer.generate_empty_files(str(tmp_path / "out"), str(calib))
+    assert n == 2
+    names = sorted(os.listdir(data))
+    assert names == ["000000.txt", "000001.txt", "000002.txt"]
+    assert (data / "000000.txt").read_text() == ""
+    assert (data / "000001.txt").read_text() != ""     # untouched
+    # idempotent
+    assert kitti_writer.generate_empty_files(str(tmp_path / "out"),
+                                             str(calib)) == 0
