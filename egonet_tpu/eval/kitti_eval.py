@@ -513,3 +513,35 @@ def format_summary(results: dict, style: str = "r40") -> str:
                 lines.append(f"{cls}_orientation AOS: "
                              f"{vals[0]:.6f} {vals[1]:.6f} {vals[2]:.6f}")
     return "\n".join(lines)
+
+
+def main(argv=None):
+    """CLI twin of the C++ binary:
+    ``python -m egonet_tpu.eval.kitti_eval [--server[=N]] [--plot]
+    <gt_dir> <result_dir>``."""
+    import argparse
+    parser = argparse.ArgumentParser(description="KITTI offline evaluation")
+    parser.add_argument("gt_dir")
+    parser.add_argument("result_dir")
+    parser.add_argument("--server", nargs="?", const=7518, default=None,
+                        type=int, metavar="N",
+                        help="test-server mode: fixed 0..N-1 index range, "
+                             "looser ped/cyclist ground/3D gates")
+    parser.add_argument("--plot", action="store_true",
+                        help="also render PR/AOS figures to "
+                             "<result_dir>/plot/")
+    args = parser.parse_args(argv)
+    results = evaluate(args.gt_dir, args.result_dir,
+                       server=args.server is not None,
+                       n_testimages=args.server or 7518)
+    print(format_summary(results, style="r40"))
+    print(format_summary(results, style="r11"))
+    if args.plot:
+        from egonet_tpu.eval.plots import plot_pr_curves
+        for p in plot_pr_curves(args.result_dir):
+            print(p)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -448,3 +448,16 @@ def test_pr_curve_plot_emission(tmp_path):
     assert "car_orientation.png" in names
     for p in written:
         assert os.path.getsize(p) > 1000
+
+
+def test_python_evaluator_cli(tmp_path, capsys):
+    """python -m egonet_tpu.eval.kitti_eval prints the same summary lines
+    as the C++ binary and honors --plot."""
+    frames = [(g, d) for g, d in (_spread_gt(7, seed=s) for s in range(6))]
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    rc = ke.main([gt_dir, res_dir, "--plot"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "car_detection AP: 100.000000 100.000000 100.000000" in out
+    assert "car_orientation AOS:" in out
+    assert "car_detection.png" in out
