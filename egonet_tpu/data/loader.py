@@ -15,7 +15,6 @@ Box jitter augmentation reproduces jitter_bbox_with_kpts_no_occlu
 from __future__ import annotations
 
 import threading
-import queue as queue_mod
 
 import numpy as np
 
@@ -278,30 +277,16 @@ class IGRBatchLoader:
             yield self._assemble(chunk)
 
     def prefetched_epoch(self, depth: int = 2, device_fn=None, **kwargs):
-        """Generator with a background producer thread.
+        """Generator with a background producer thread (exceptions from the
+        producer re-raise in the consumer — see utils/pipeline.py).
 
         ``device_fn`` (e.g. the trainer's ``_device_batch``) is applied in
         the producer: the host->device transfer of batch i+1 then overlaps
         the device compute of batch i instead of serializing with it —
         load-bearing when the accelerator link is slow (the training canvas
         is ~35 MB/step)."""
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
-        sentinel = object()
-
-        def produce():
-            try:
-                for batch in self.epoch(**kwargs):
-                    q.put(device_fn(batch) if device_fn else batch)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        from egonet_tpu.utils.pipeline import prefetch_map
+        yield from prefetch_map(device_fn, self.epoch(**kwargs), depth)
 
 
 class ArrayBatchLoader:

@@ -412,6 +412,9 @@ def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
     """
     data_dir = os.path.join(result_dir, "data")
     if server:
+        if n_testimages <= 0:
+            raise ValueError(f"server mode needs a positive image count, "
+                             f"got {n_testimages}")
         names = [f"{i:06d}.txt" for i in range(n_testimages)]
         missing = [n for n in names
                    if not os.path.exists(os.path.join(data_dir, n))]
@@ -531,9 +534,12 @@ def main(argv=None):
                         help="also render PR/AOS figures to "
                              "<result_dir>/plot/")
     args = parser.parse_args(argv)
+    if args.server is not None and args.server <= 0:
+        parser.error("--server expects a positive image count")
     results = evaluate(args.gt_dir, args.result_dir,
                        server=args.server is not None,
-                       n_testimages=args.server or 7518)
+                       n_testimages=args.server
+                       if args.server is not None else 7518)
     print(format_summary(results, style="r40"))
     print(format_summary(results, style="r11"))
     if args.plot:

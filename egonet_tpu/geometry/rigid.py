@@ -105,9 +105,13 @@ def _jacobi_eig4(K: jax.Array, sweeps: int = 6):
             kpq = K[:, p, q]
             kpp = K[:, p, p]
             kqq = K[:, q, q]
-            # stable Jacobi angle: t = sign(tau)/(|tau| + sqrt(1+tau^2))
+            # stable Jacobi angle: t = sign(tau)/(|tau| + sqrt(1+tau^2)).
+            # tau == 0 (equal diagonal pair, nonzero off-diagonal) must give
+            # t = 1 (a 45-degree rotation), NOT sign(0) = 0 — that skipped
+            # rotation would leave the off-diagonal never annihilated.
             tau = (kqq - kpp) / (2.0 * jnp.where(kpq == 0.0, 1.0, kpq))
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
             t = jnp.where(kpq == 0.0, 0.0, t)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c

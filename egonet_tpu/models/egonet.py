@@ -429,28 +429,14 @@ class EgoNet:
         assembly) and enqueues the async device dispatch up to ``depth``
         batches ahead; the consumer yields finalized per-image records.
         Host decode, host->device transfer and device compute of different
-        batches all overlap.
+        batches all overlap.  A producer-side error (e.g. a corrupt image)
+        re-raises here rather than truncating the stream.
         """
-        import queue as queue_mod
-        import threading
-
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
-        sentinel = object()
-
-        def produce():
-            try:
-                for annot in annot_iter:
-                    q.put(self.dispatch_annot_dict(annot, **kwargs))
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield self.finalize(item)
+        from egonet_tpu.utils.pipeline import prefetch_map
+        for pending in prefetch_map(
+                lambda annot: self.dispatch_annot_dict(annot, **kwargs),
+                annot_iter, depth):
+            yield self.finalize(pending)
 
     def __call__(self, annot_dict: dict, **kwargs) -> dict:
         return self.forward_annot_dict(annot_dict, **kwargs)

@@ -85,11 +85,10 @@ class LiftingTrainer:
                              .get("apply_dropout", False))
 
         @jax.jit
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, rng):
             kwargs = {}
             if apply_dropout:
-                kwargs = {"apply_dropout": True,
-                          "rngs": {"dropout": jax.random.PRNGKey(0)}}
+                kwargs = {"apply_dropout": True, "rngs": {"dropout": rng}}
             out = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["input"], train=False, **kwargs)
@@ -104,7 +103,13 @@ class LiftingTrainer:
     def eval_step(self, state, batch):
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
-        return self._eval_step(state, self._device_batch(batch))
+            self._eval_calls = 0
+        # fresh dropout mask per eval batch (the reference draws a new
+        # torch mask every forward; a constant key would condition every
+        # evaluation on one arbitrary mask realization)
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), self._eval_calls)
+        self._eval_calls += 1
+        return self._eval_step(state, self._device_batch(batch), rng)
 
     def _device_batch(self, batch):
         if self.mesh is None:

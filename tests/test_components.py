@@ -342,3 +342,43 @@ def test_generate_empty_files(tmp_path):
     # idempotent
     assert kitti_writer.generate_empty_files(str(tmp_path / "out"),
                                              str(calib)) == 0
+
+
+def test_prefetch_map_propagates_exceptions():
+    """A producer-side error re-raises in the consumer instead of silently
+    truncating the stream."""
+    from egonet_tpu.utils.pipeline import prefetch_map
+
+    def items():
+        yield 1
+        yield 2
+        raise ValueError("boom")
+
+    got = []
+    with pytest.raises(ValueError, match="boom"):
+        for x in prefetch_map(lambda v: v * 10, items(), depth=2):
+            got.append(x)
+    assert got == [10, 20]
+
+
+def test_stream_annot_dicts_raises_on_bad_image(tmp_path):
+    """A corrupt image mid-stream fails the run (no silent skip)."""
+    from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.config import default_demo_config
+    import copy
+    cfg = default_demo_config()
+    extra = cfg["heatmapModel"]["extra"]
+    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
+    extra["stage3"].update({"num_channels": [8, 16, 32],
+                            "num_blocks": [1, 1, 1], "num_modules": 1})
+    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
+                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
+    cfg["heatmapModel"].update({"input_size": [64, 64],
+                                "heatmap_size": [16, 16]})
+    model = EgoNet(cfg, pre_trained=False)
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"not a png")
+    annots = [{"path": [str(bad)], "boxes": [np.array([[5, 5, 40, 40.0]])],
+               "K": [np.eye(3)], "raw_txt_format": [[]]}]
+    with pytest.raises(ValueError, match="Fail to read"):
+        list(model.stream_annot_dicts(iter(annots)))

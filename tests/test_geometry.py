@@ -159,3 +159,35 @@ def test_six_dof_quaternion_matches_svd(rng):
     a_s, t_s = rigid.six_dof_from_cuboids(preds, method="svd")
     np.testing.assert_allclose(np.asarray(a_q), np.asarray(a_s), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(t_q), np.asarray(t_s))
+
+
+def test_jacobi_eig4_degenerate_diagonal_pair():
+    """Equal diagonal entries with a nonzero off-diagonal need a 45-degree
+    Jacobi rotation (tau=0 -> t=1, not sign(0)=0): regression for a case
+    where the [[2,1],[1,2]] block (eigenvalues 1 and 3) was returned
+    unrotated as [2,2]."""
+    from egonet_tpu.geometry.rigid import _jacobi_eig4
+    import jax.numpy as jnp
+    K = np.diag([5.0, 7.0, 2.0, 2.0])
+    K[2, 3] = K[3, 2] = 1.0
+    evals, evecs = _jacobi_eig4(jnp.asarray(K[None], jnp.float32))
+    got = np.sort(np.asarray(evals[0]))
+    np.testing.assert_allclose(got, [1.0, 3.0, 5.0, 7.0], atol=1e-5)
+    # eigenvector property: K v = lambda v
+    v = np.asarray(evecs[0])
+    lam = np.asarray(evals[0])
+    np.testing.assert_allclose(K @ v, v * lam, atol=1e-5)
+
+
+def test_quaternion_kabsch_symmetric_covariance(rng):
+    """Exactly-symmetric covariances (the tau=0 family) agree with the SVD
+    construction."""
+    from egonet_tpu.geometry import rigid
+    import jax.numpy as jnp
+    for d in ([3.0, 1.0, 1.0], [2.0, 2.0, 1.0], [1.0, 1.0, 1.0]):
+        # X, Y chosen so H = diag(d) + symmetric perturbation
+        X = rng.randn(3, 64)
+        Y = np.diag(d) @ X
+        R1, _ = rigid.kabsch(jnp.asarray(X), jnp.asarray(Y), "svd")
+        R2, _ = rigid.kabsch(jnp.asarray(X), jnp.asarray(Y), "quaternion")
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-4)

@@ -455,7 +455,17 @@ int main(int argc, char **argv) {
     std::string a(argv[i]);
     if (a.rfind("--server", 0) == 0) {
       server_mode = true;
-      if (a.size() > 9 && a[8] == '=') n_testimages = atoi(a.c_str() + 9);
+      if (a.size() > 8) {
+        // anything after "--server" must be "=<positive integer>"
+        char *end = nullptr;
+        long n = a[8] == '=' ? strtol(a.c_str() + 9, &end, 10) : 0;
+        if (a[8] != '=' || end == a.c_str() + 9 || *end != '\0' || n <= 0) {
+          fprintf(stderr, "invalid %s: expected --server=<positive N>\n",
+                  a.c_str());
+          return 1;
+        }
+        n_testimages = static_cast<int>(n);
+      }
     } else {
       pos_args.push_back(a);
     }
