@@ -34,7 +34,8 @@ def save_torch_state_dict(path: str, variables: dict) -> str:
     """Export as a torch .pth loadable by the reference implementation."""
     import torch
     from egonet_tpu.io.torch_convert import flax_to_torch
-    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy=True: jax gives non-writable host views, which torch warns about
+    state = {k: torch.from_numpy(np.array(v, copy=True))
              for k, v in flax_to_torch(variables).items()}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     torch.save(state, path)

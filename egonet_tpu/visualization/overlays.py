@@ -91,3 +91,44 @@ def add_orientation_arrow(record):
             v = v / length * 60
         arrows[i][:, 1] = arrows[i][:, 0] + v
     return arrows
+
+
+def visualize_lifting_results(data_2d, prediction, target=None,
+                              sample_num=None, intrinsics=None,
+                              refine=False, save_path=None, rng=None):
+    """Lifter-evaluation visualization: sampled predicted cuboids (red)
+    vs ground truth (black), optionally with PnP-refined boxes (green).
+
+    File-based twin of the reference's interactive
+    ``visualize_lifting_results`` (trainer.py:323-393): data_2d [N, 2K]
+    screen keypoints, prediction/target [N, 3K] flattened cuboids whose
+    first point is the root/center.
+    """
+    from egonet_tpu.visualization import points as vp
+    rng = rng or np.random.RandomState(0)
+    n = len(prediction)
+    sample_num = min(sample_num or n, n)
+    chosen = rng.choice(n, sample_num, replace=False)
+    p3d_pred = np.asarray(prediction)[chosen].reshape(sample_num, -1, 3)
+    p3d_gt = (np.asarray(target)[chosen].reshape(sample_num, -1, 3)
+              if target is not None else None)
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    vp.plot_scene_3dbox(ax, p3d_pred, color="r")
+    if p3d_gt is not None:
+        vp.plot_scene_3dbox(ax, p3d_gt, color="k")
+    if refine:
+        assert intrinsics is not None, "PnP refinement needs intrinsics"
+        from egonet_tpu.eval.refinement import refine_instance
+        data = np.asarray(data_2d)[chosen].reshape(sample_num, -1, 2)
+        for i in range(sample_num):
+            absolute = p3d_pred[i].copy()
+            absolute[1:] += absolute[:1]       # root-relative -> absolute
+            refined = refine_instance(absolute, data[i], intrinsics)
+            vp.plot_scene_3dbox(ax, [refined - refined[:1]], color="g")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return ax

@@ -382,3 +382,40 @@ def test_stream_annot_dicts_raises_on_bad_image(tmp_path):
                "K": [np.eye(3)], "raw_txt_format": [[]]}]
     with pytest.raises(ValueError, match="Fail to read"):
         list(model.stream_annot_dicts(iter(annots)))
+
+
+def test_dataset_show_annot(kitti_root, tmp_path):
+    """show_annot saves original + cuboid-annotated figures (reference
+    car_instance.show_annot)."""
+    cfg = small_train_cfg(kitti_root)
+    cfg["exp_type"] = "inference"
+    ds = kitti.KITTIDataset(cfg, "valid")
+    name = ds.image_names[0]
+    orig, annot = ds.show_annot(name, str(tmp_path))
+    assert os.path.getsize(orig) > 1000
+    assert os.path.getsize(annot) > 1000
+    assert annot.endswith("_annotated.png")
+
+
+def test_visualize_lifting_results(tmp_path, rng):
+    """Pred-vs-GT cuboid figure with PnP overlay renders to a file."""
+    from egonet_tpu.visualization.overlays import visualize_lifting_results
+    from egonet_tpu.data import cuboid as cb
+    K = np.array([[707.0, 0, 604.0], [0, 707.0, 180.0], [0, 0, 1.0]])
+    preds, gts, data = [], [], []
+    for i in range(4):
+        box = cb.construct_box_3d(3.9, 1.5, 1.7, interpolate=True)
+        cam = (cb.rot_y_matrix(0.4 * i) @ box
+               + np.array([[1.0 * i], [1.5], [14.0]])).T       # [33, 3]
+        proj = (K @ cam.T)
+        uv = (proj[:2] / proj[2]).T                            # [33, 2]
+        rel = cam.copy()
+        rel[1:] -= rel[:1]
+        gts.append(rel.flatten())
+        preds.append((rel + 0.03 * rng.randn(*rel.shape)).flatten())
+        data.append(uv.flatten())
+    path = visualize_lifting_results(
+        np.stack(data), np.stack(preds), target=np.stack(gts),
+        sample_num=3, intrinsics=K, refine=True,
+        save_path=str(tmp_path / "lift.png"))
+    assert os.path.getsize(path) > 1000

@@ -41,6 +41,11 @@ def main(argv=None):
                              logger=logger)
     state, history = trainer.fit(train_set, valid_set)
 
+    if cfgs.get("evaluate") or cfgs.get("visualize"):
+        trainer.evaluate(
+            state, valid_set,
+            visualize_dir=out_dir if cfgs.get("visualize") else None)
+
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
