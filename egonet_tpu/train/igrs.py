@@ -101,9 +101,12 @@ class IGRTrainer:
             joints[..., :2], joints[..., 2],
             (self.heatmap_size[1], self.heatmap_size[0]),
             (h, w), self.sigma)
+        use_tw = bool(self.cfgs.get("training_settings", {})
+                      .get("use_target_weight", False))
         total, comps = losses.composite_loss(
             outputs, targets, joints[..., :2], self.loss_cfg,
             mask=batch["mask"], apply_cr=apply_cr,
+            target_weight=tweight if use_tw else None,
             sup_mask=batch.get("sup_mask"))
         return total, (new_state["batch_stats"], comps)
 

