@@ -213,3 +213,28 @@ def test_stream_annot_dicts_matches_forward(setup):
         for path in direct:
             np.testing.assert_allclose(records[path]["alphas"],
                                        direct[path]["alphas"], atol=1e-6)
+
+
+def test_stream_annot_dicts_sharded(setup):
+    """The streaming API also works with a device mesh (producer-thread
+    device_put with NamedSharding) and matches single-device results."""
+    from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.parallel import mesh as pmesh
+    _, root, _, cfg, model, ds = setup
+    mesh = pmesh.make_mesh()
+    sharded = EgoNet(cfg, pre_trained=False, mesh=mesh)
+    annots = []
+    for name in ds.image_names:
+        rec = ds.annot_dict[name]
+        annots.append({"path": [ds.paths.image_path(name)],
+                       "boxes": [rec["bbox_2d"]],
+                       "K": [rec["K"]],
+                       "raw_txt_format": [rec["raw_txt_format"]]})
+    streamed = list(sharded.stream_annot_dicts(iter(annots), depth=2,
+                                               enlarge=1.1,
+                                               alpha_mode="proj"))
+    for annot, records in zip(annots, streamed):
+        direct = model(annot, enlarge=1.1, alpha_mode="proj")
+        for path in direct:
+            np.testing.assert_allclose(records[path]["alphas"],
+                                       direct[path]["alphas"], atol=1e-4)
