@@ -217,8 +217,12 @@ class KITTIPaths:
     def __init__(self, root: str, split: str):
         self.root = root
         self.split = split
-        base = "train" if split == "valid" else split
-        base += "ing"
+        # 'valid' and 'trainvalid' are both index subsets of the official
+        # training split, so their files live under <root>/training/.  (The
+        # reference's _set_paths builds the nonexistent 'trainvaliding' for
+        # trainvalid — car_instance.py:169-176 — which we fix rather than
+        # reproduce.)
+        base = "testing" if split == "test" else "training"
         self.image_dir = pjoin(root, base, "image_2")
         self.label_dir = pjoin(root, base, "label_2")
         self.calib_dir = pjoin(root, base, "calib")

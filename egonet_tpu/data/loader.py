@@ -159,7 +159,7 @@ class IGRBatchLoader:
         b = len(chunk)
         images = np.zeros((b, hc, wc, 3), np.uint8)
         inv_mats, img_idx, joints_local = [], [], []
-        centers, scales, orig_joints = [], [], []
+        centers, scales, orig_joints, ids = [], [], [], []
         decoded = self._decode_chunk([rec["path"] for rec in chunk])
         for i, rec in enumerate(chunk):
             img = decoded[i]
@@ -185,6 +185,7 @@ class IGRBatchLoader:
                 centers.append(c)
                 scales.append(s)
                 orig_joints.append(kpts[:, :2][None])
+                ids.append((i, j))
 
         m = len(img_idx)
         cap = self.max_instances
@@ -196,20 +197,29 @@ class IGRBatchLoader:
             centers = [centers[c] for c in chosen]
             scales = [scales[c] for c in chosen]
             orig_joints = [orig_joints[c] for c in chosen]
+            ids = [ids[c] for c in chosen]
             m = cap
         pad = cap - m
         k = joints_local[0].shape[1] if joints_local else 33
+        # Padding slots duplicate REAL instances (cyclically) instead of
+        # identity-matrix dummies: the HRNet forward runs in train mode over
+        # the whole bucket, so BatchNorm batch statistics see every slot —
+        # dummy crops (the canvas top-left patch, repeated) would dominate
+        # the statistics whenever real instances are sparse.  The loss mask
+        # still zeroes the duplicates.
+        if m:
+            pad_src = [i % m for i in range(pad)]
+            inv_mats = inv_mats + [inv_mats[s] for s in pad_src]
+            joints_pad = joints_local + [joints_local[s] for s in pad_src]
+            img_idx_pad = img_idx + [img_idx[s] for s in pad_src]
         batch = {
             "images": images,
-            "inv_mats": np.concatenate(
-                inv_mats + [np.tile(np.eye(2, 3)[None], (pad, 1, 1))]
-            ).astype(np.float32) if m else
+            "inv_mats": np.concatenate(inv_mats).astype(np.float32) if m else
             np.tile(np.eye(2, 3, dtype=np.float32)[None], (cap, 1, 1)),
             "img_idx": np.asarray(
-                img_idx + [0] * pad, np.int32),
-            "joints": np.concatenate(
-                joints_local + [np.zeros((pad, k, 3))]
-            ).astype(np.float32) if m else np.zeros((cap, k, 3), np.float32),
+                img_idx_pad if m else [0] * cap, np.int32),
+            "joints": np.concatenate(joints_pad).astype(np.float32)
+            if m else np.zeros((cap, k, 3), np.float32),
             "mask": np.concatenate(
                 [np.ones(m, np.float32), np.zeros(pad, np.float32)]),
         }
@@ -219,6 +229,11 @@ class IGRBatchLoader:
             "scale": np.array(scales) if m else np.zeros((0, 2)),
             "original_joints": (np.concatenate(orig_joints)
                                 if m else np.zeros((0, k, 2))),
+            # (chunk index, box index) per kept instance, in batch order —
+            # lets subclasses attach per-instance targets that stay aligned
+            # through jitter and the random cap subsampling above
+            "instance_ids": (np.asarray(ids, np.int64)
+                             if m else np.zeros((0, 2), np.int64)),
             "count": m,
         }
         batch["sup_mask"] = batch["mask"].copy()
@@ -274,7 +289,12 @@ class IGRBatchLoader:
         for start in range(0, len(order), self.batch_images):
             chunk = [self.records[i]
                      for i in order[start:start + self.batch_images]]
-            yield self._assemble(chunk)
+            batch = self._assemble(chunk)
+            # an all-padding batch (no image in the chunk has instances)
+            # carries no gradient but would still pollute BN statistics
+            if batch["meta"]["count"] == 0:
+                continue
+            yield batch
 
     def prefetched_epoch(self, depth: int = 2, device_fn=None, **kwargs):
         """Generator with a background producer thread (exceptions from the
@@ -319,10 +339,13 @@ class ArrayBatchLoader:
             y = self.outputs[idx]
             mask = np.ones(len(idx), np.float32)
             if len(idx) < self.batch_size:      # pad to static shape
+                # wrap-around duplicates of real samples, NOT zeros: the
+                # lifter's BatchNorm computes batch statistics over the
+                # whole padded batch in train mode, and zero rows would
+                # skew them (the loss mask still excludes the duplicates)
                 pad = self.batch_size - len(idx)
-                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
-                                                x.dtype)])
-                y = np.concatenate([y, np.zeros((pad,) + y.shape[1:],
-                                                y.dtype)])
+                src = np.arange(pad) % len(idx)
+                x = np.concatenate([x, x[src]])
+                y = np.concatenate([y, y[src]])
                 mask = np.concatenate([mask, np.zeros(pad, np.float32)])
             yield {"input": x, "output": y, "mask": mask}

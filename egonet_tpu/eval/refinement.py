@@ -26,9 +26,13 @@ def refine_instance(kpts_3d: np.ndarray,
     pred = np.ascontiguousarray(kpts_3d, dtype=np.float64)
     obs = np.ascontiguousarray(kpts_2d.reshape(-1, 2), dtype=np.float64)
     n = min(len(pred), len(obs))
-    refined = pnp_refine(pred[:n], obs[:n], np.asarray(K, np.float64),
+    pred_n = pred[:n]
+    refined = pnp_refine(pred_n, obs[:n], np.asarray(K, np.float64),
                          dist_coeffs)
-    if refined is pred[:n]:
+    # pnp_refine returns its [N, 3] input object on solvePnP failure and a
+    # transposed [3, N] solution on success; the identity check must be
+    # against the SAME slice object that was passed in
+    if refined is pred_n:
         return kpts_3d
     return np.asarray(refined).T
 

@@ -43,9 +43,10 @@ def soft_argmax_sumnorm(heatmaps: jax.Array):
     n, k, h, w = heatmaps.shape
     flat = heatmaps.reshape(n, k, h * w)
     maxvals = jnp.max(flat, axis=2, keepdims=True)
-    clipped = jnp.clip(flat, 0.0, None)
+    # NOTE: the reference clips a 4D *copy* to [0, inf) but then sums and
+    # divides the unclipped 3D view (img_proc.py:656-659) — its clip is dead
+    # code, so no clip is applied here either (parity over intent)
     probs = (flat / jnp.sum(flat, axis=2, keepdims=True)).reshape(n, k, h, w)
-    del clipped  # reference clips the 4D copy but sums the unclipped 3D view
     xs = jnp.arange(w, dtype=heatmaps.dtype)
     ys = jnp.arange(h, dtype=heatmaps.dtype)
     x = jnp.sum(jnp.sum(probs, axis=2) * xs, axis=2)

@@ -200,6 +200,24 @@ def fused_basic_block_stencil(xT: jax.Array, params: dict, *,
 _PROBE_CACHE: dict = {}
 
 
+def probe_args(tile_cols: int = 32, channels: int = 48, width: int = 64,
+               batch: int = 8, height: int = 8):
+    """Build a (x, params) pair shaped for ``fused_basic_block_stencil``:
+    x is [H, W, C, B] bf16 with W divisible by tile_cols.  Shared by the
+    toolchain probe and its shape-compatibility test."""
+    assert width % tile_cols == 0, (width, tile_cols)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(height, width, channels, batch), jnp.bfloat16)
+    params = pack_stencil_weights(
+        rng.randn(3, 3, channels, channels) * 0.05,
+        {"scale": np.ones(channels), "bias": np.zeros(channels),
+         "mean": np.zeros(channels), "var": np.ones(channels)},
+        rng.randn(3, 3, channels, channels) * 0.05,
+        {"scale": np.ones(channels), "bias": np.zeros(channels),
+         "mean": np.zeros(channels), "var": np.ones(channels)})
+    return x, params
+
+
 def probe_wide_tile(tile_cols: int = 32, channels: int = 48,
                     width: int = 64) -> bool:
     """True iff the current toolchain compiles the stencil kernel at a
@@ -210,17 +228,9 @@ def probe_wide_tile(tile_cols: int = 32, channels: int = 48,
         return _PROBE_CACHE[key]
     ok = False
     try:
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(channels, 8, width), jnp.float32)
-        params = pack_stencil_weights(
-            rng.randn(3, 3, channels, channels) * 0.05,
-            {"scale": np.ones(channels), "bias": np.zeros(channels),
-             "mean": np.zeros(channels), "var": np.ones(channels)},
-            rng.randn(3, 3, channels, channels) * 0.05,
-            {"scale": np.ones(channels), "bias": np.zeros(channels),
-             "mean": np.zeros(channels), "var": np.ones(channels)})
+        x, params = probe_args(tile_cols, channels, width)
         out = fused_basic_block_stencil(x, params, tile_cols=tile_cols)
-        ok = bool(np.isfinite(np.asarray(out)).all())
+        ok = bool(np.isfinite(np.asarray(out, np.float32)).all())
     except Exception:
         ok = False
     _PROBE_CACHE[key] = ok

@@ -54,15 +54,18 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 
 def pad_instance_batch(batch: dict, multiple: int,
-                       replicated_keys=("images",)) -> dict:
-    """Zero-pad the leading (instance) axis of every sharded batch array to a
+                       replicated_keys=("images",),
+                       mask_keys=("mask", "sup_mask")) -> dict:
+    """Pad the leading (instance) axis of every sharded batch array to a
     multiple of the mesh size.
 
     ``NamedSharding(mesh, P('data'))`` requires the sharded axis to divide
     evenly by the mesh; the default instance cap (MAX_INS_CNT=140) does not
     divide an 8-chip mesh, so un-padded batches would be rejected at
-    ``jax.device_put``.  Padding rows carry mask=0 and are excluded from the
-    loss/metrics; a zero inv_mat warps to an all-black crop.
+    ``jax.device_put``.  Content rows are padded by WRAPPING real rows
+    (train-mode BatchNorm statistics see every slot, and a zeros-padded
+    inv_mat would warp a constant dummy crop into them); the ``mask_keys``
+    rows pad with zeros so the duplicates stay out of the loss/metrics.
     """
     sizes = {v.shape[0] for k, v in batch.items()
              if k not in replicated_keys and k != "meta"}
@@ -73,11 +76,14 @@ def pad_instance_batch(batch: dict, multiple: int,
     target = pad_to_multiple(n, multiple)
     if target == n:
         return batch
+    wrap = np.arange(n, target) % n
     out = {}
     for k, v in batch.items():
         if k in replicated_keys or k == "meta":
             out[k] = v
-        else:
+        elif k in mask_keys:
             pad_width = [(0, target - n)] + [(0, 0)] * (v.ndim - 1)
             out[k] = np.pad(v, pad_width)
+        else:
+            out[k] = np.concatenate([v, v[wrap]])
     return out

@@ -46,22 +46,20 @@ class AngleBatchLoader(IGRBatchLoader):
 
     def _assemble(self, chunk):
         batch = super()._assemble(chunk)
-        angles = []
-        for rec in chunk:
-            angles.extend(rec["rots"][:, self.angle_index])
-        angles = np.asarray(angles, np.float64)
         m = batch["meta"]["count"]
-        # note: when the cap dropped instances, indices were reshuffled by
-        # the parent; rebuild from meta ordering is not possible, so cap
-        # support requires angles <= max_instances (typical for KITTI)
-        if len(angles) > m:
-            angles = angles[:m]
+        # meta['instance_ids'] carries (chunk index, box index) per kept
+        # instance IN BATCH ORDER, so targets stay aligned with the crops
+        # even after the parent's random cap subsampling reordered them
+        ids = batch["meta"]["instance_ids"]
+        angles = np.asarray(
+            [chunk[i]["rots"][j, self.angle_index] for i, j in ids],
+            np.float64)
         cap = len(batch["mask"])
         target = np.zeros((cap, 2), np.float32)
-        target[:m, 0] = np.cos(angles[:m])
-        target[:m, 1] = np.sin(angles[:m])
+        target[:m, 0] = np.cos(angles)
+        target[:m, 1] = np.sin(angles)
         batch["angle_target"] = target
-        batch["meta"]["angles_gt"] = angles[:m]
+        batch["meta"]["angles_gt"] = angles
         return batch
 
 

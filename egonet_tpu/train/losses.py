@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from egonet_tpu.constants import CR_INDICES, TARGET_CROSS_RATIO
-from egonet_tpu.ops.keypoints import cross_ratio_sq
 
 # [12, 4] gather indices into the 33-point keypoint array.  The table is
 # already 0-based for that layout (center at slot 0, corners at 1..8,

@@ -419,3 +419,46 @@ def test_visualize_lifting_results(tmp_path, rng):
         sample_num=3, intrinsics=K, refine=True,
         save_path=str(tmp_path / "lift.png"))
     assert os.path.getsize(path) > 1000
+
+
+def test_prefetch_map_abandoned_consumer_stops_producer():
+    """Breaking out of a prefetched stream must stop the producer thread —
+    a blocking q.put would otherwise park it forever, pinning the last
+    prepared batch (code-review r2 finding)."""
+    import time
+    from egonet_tpu.utils.pipeline import prefetch_map
+    produced = []
+
+    def items():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    gen = prefetch_map(None, items(), depth=1)
+    assert next(gen) == 0
+    gen.close()                       # abandon: finally sets the stop event
+    time.sleep(0.4)                   # > the producer's 0.1 s put timeout
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n, "producer kept running after abandonment"
+    assert n < 1000
+
+
+def test_pnp_refine_failure_returns_input(monkeypatch):
+    """A failed solvePnP must return the input cuboid unchanged — the
+    failure branch previously compared against a fresh slice object and
+    returned a transposed [3, N] array instead (code-review r2 finding)."""
+    import cv2
+    from egonet_tpu.eval import refinement
+    monkeypatch.setattr(cv2, "solvePnP", lambda *a, **k: (False, None, None))
+    kpts_3d = np.random.RandomState(0).randn(32, 3)
+    kpts_2d = np.random.RandomState(1).randn(33, 2)
+    out = refinement.refine_instance(kpts_3d, kpts_2d[1:], np.eye(3))
+    assert out.shape == (32, 3)
+    np.testing.assert_array_equal(out, kpts_3d)
+    # and refine_record stacks cleanly when every instance fails
+    rec = {"kpts_3d_pred": np.stack([kpts_3d, kpts_3d]),
+           "kpts_2d_pred": [kpts_2d.reshape(1, -1)] * 2,
+           "K": np.eye(3)}
+    refinement.refine_record(rec)
+    assert rec["kpts_3d_refined"].shape == (2, 32, 3)

@@ -91,3 +91,16 @@ def test_stencil_flag_gating(monkeypatch):
     s._PROBE_CACHE[(32, 48, 64)] = True
     assert s.stencil_enabled("auto") is True
     s._PROBE_CACHE.clear()
+
+
+def test_probe_args_shape_compatible():
+    """probe_wide_tile's input construction must match the kernel signature
+    ([H, W, C, B], W % tile_cols == 0) — a mis-shaped probe can never enable
+    the stencil on a capable toolchain (code-review r2 finding).  Verified
+    end-to-end in interpret mode at a tiny size."""
+    from egonet_tpu.ops import pallas_block_stencil as pbs
+    x, params = pbs.probe_args(tile_cols=8, channels=8, width=16,
+                               batch=4, height=4)
+    y = pbs.fused_basic_block_stencil(x, params, tile_cols=8, interpret=True)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y, np.float32)).all()

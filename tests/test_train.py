@@ -250,3 +250,130 @@ def test_use_target_weight_option(kitti_root):
     state = trainer.init_state(0)
     state, metrics = trainer.train_step(state, batch, apply_cr=False)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_loader_padding_duplicates_real_instances(kitti_root):
+    """Padding slots of the instance bucket must duplicate REAL crops, not
+    identity-matrix dummies: train-mode BatchNorm statistics are computed
+    over the whole padded bucket, and a padding-dominated batch of repeated
+    canvas-corner patches would skew them (code-review r2 finding)."""
+    from egonet_tpu.data.loader import IGRBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    ds = kitti.KITTIDataset(cfg, "train")
+    loader = IGRBatchLoader(ds.records, cfg, train=False, max_instances=16)
+    batch = next(loader.epoch())
+    m = batch["meta"]["count"]
+    cap = len(batch["mask"])
+    assert 0 < m < cap, "fixture should underfill the bucket"
+    for t in range(m, cap):
+        src = (t - m) % m
+        np.testing.assert_array_equal(batch["inv_mats"][t],
+                                      batch["inv_mats"][src])
+        np.testing.assert_array_equal(batch["joints"][t],
+                                      batch["joints"][src])
+        assert batch["img_idx"][t] == batch["img_idx"][src]
+        assert batch["mask"][t] == 0.0
+
+
+def test_loader_skips_empty_batches(kitti_root, tmp_path):
+    """A chunk whose images have no instances yields no batch (an
+    all-padding batch carries zero gradient but would pollute BN stats)."""
+    import cv2
+    from egonet_tpu.data.loader import IGRBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    ds = kitti.KITTIDataset(cfg, "train")
+    empty_img = str(tmp_path / "empty.png")
+    cv2.imwrite(empty_img, np.zeros((64, 64, 3), np.uint8))
+    records = list(ds.records) + [{
+        "path": empty_img,
+        "boxes": np.zeros((0, 4)),
+        "kpts": np.zeros((0, 33, 2)),
+    }]
+    loader = IGRBatchLoader(records, cfg, train=False, max_instances=8)
+    batches = list(loader.epoch(shuffle=False))
+    assert len(batches) == len(records) - 1   # batch_size=1: empty dropped
+    assert all(b["meta"]["count"] > 0 for b in batches)
+
+
+def test_array_loader_pads_with_wrapped_samples():
+    """The lifter loader's final partial batch pads with wrap-around
+    duplicates (mask=0), not zero rows, for the same BN-statistics reason."""
+    from egonet_tpu.data.loader import ArrayBatchLoader
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    y = x * 2
+    loader = ArrayBatchLoader(x, y, batch_size=4, seed=0)
+    batches = list(loader.epoch(shuffle=False))
+    assert len(batches) == 2
+    last = batches[1]
+    np.testing.assert_array_equal(last["mask"], [1, 0, 0, 0])
+    for t in range(1, 4):
+        np.testing.assert_array_equal(last["input"][t], last["input"][0])
+        np.testing.assert_array_equal(last["output"][t], last["output"][0])
+
+
+def test_pad_instance_batch_wraps_content():
+    """Mesh-divisibility padding wraps real rows for content arrays and
+    zero-pads only the mask keys."""
+    from egonet_tpu.parallel.mesh import pad_instance_batch
+    batch = {
+        "images": np.zeros((2, 4, 4, 3), np.uint8),
+        "inv_mats": np.arange(5 * 6, dtype=np.float32).reshape(5, 2, 3),
+        "img_idx": np.arange(5, dtype=np.int32),
+        "mask": np.ones(5, np.float32),
+        "meta": {"count": 5},
+    }
+    out = pad_instance_batch(batch, 4)
+    assert out["inv_mats"].shape[0] == 8
+    np.testing.assert_array_equal(out["inv_mats"][5:],
+                                  out["inv_mats"][:3])
+    np.testing.assert_array_equal(out["img_idx"][5:], [0, 1, 2])
+    np.testing.assert_array_equal(out["mask"], [1] * 5 + [0] * 3)
+    assert out["images"].shape[0] == 2       # replicated key untouched
+
+
+def test_angle_targets_aligned_under_cap(kitti_root, tmp_path):
+    """When the instance cap randomly subsamples (and reorders) a batch,
+    per-instance angle targets must follow the SAME selection — previously
+    they were truncated in original order, silently pairing crops with wrong
+    angles (code-review r2 finding).  Alignment is verified independently
+    via meta['original_joints'], which the parent loader keeps in batch
+    order."""
+    import cv2
+    from egonet_tpu.train.angle import AngleBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    img_path = str(tmp_path / "angle.png")
+    cv2.imwrite(img_path, np.zeros((128, 256, 3), np.uint8))
+    n, k = 10, 33
+    rng = np.random.RandomState(3)
+    boxes = np.stack([
+        np.arange(n) * 20.0, np.full(n, 10.0),
+        np.arange(n) * 20.0 + 18, np.full(n, 40.0)], axis=1)
+    # keypoint table encodes the instance id: kpts[j] == j everywhere
+    kpts = np.tile(np.arange(n, dtype=np.float64)[:, None, None], (1, k, 2))
+    rots = np.stack([np.arange(n) * 0.01, np.arange(n) * 0.1], axis=1)
+    rec = {"path": img_path, "boxes": boxes, "kpts": kpts, "rots": rots}
+    loader = AngleBatchLoader([rec], cfg, train=True, angle_index=1,
+                              max_instances=4, seed=5)
+    loader.jitter = False
+    batch = next(loader.epoch())
+    m = batch["meta"]["count"]
+    assert m == 4
+    for t in range(m):
+        j = int(round(batch["meta"]["original_joints"][t, 0, 0]))
+        assert np.isclose(batch["meta"]["angles_gt"][t], rots[j, 1])
+        assert np.isclose(batch["angle_target"][t, 0], np.cos(rots[j, 1]))
+    chosen = {int(round(batch["meta"]["original_joints"][t, 0, 0]))
+              for t in range(m)}
+    assert chosen != {0, 1, 2, 3}, "cap subsample should reorder (seed=5)"
+
+
+def test_kitti_paths_trainvalid():
+    """split='trainvalid' reads from <root>/training/ (the reference's
+    _set_paths builds the nonexistent 'trainvaliding'; fixed here)."""
+    from egonet_tpu.data.kitti import KITTIPaths
+    p = KITTIPaths("/data/KITTI", "trainvalid")
+    assert p.image_dir == "/data/KITTI/training/image_2"
+    assert p.label_dir == "/data/KITTI/training/label_2"
+    assert p.list_file.endswith("training/ImageSets/trainval.txt")
+    assert KITTIPaths("/d", "test").image_dir == "/d/testing/image_2"
+    assert KITTIPaths("/d", "valid").image_dir == "/d/training/image_2"
