@@ -373,7 +373,8 @@ class EgoNet:
                 "boxes": np.asarray(annot_dict["boxes"][i]),
             }
             for key in ("K", "raw_txt_format", "scores", "kpts_3d_before",
-                        "kpts", "kpts_3d_gt", "pose_vecs_gt"):
+                        "kpts", "kpts_3d_gt", "pose_vecs_gt",
+                        "kpts_3d_SMOKE"):
                 if key in annot_dict:
                     rec[key] = annot_dict[key][i]
             records[path] = rec
@@ -391,12 +392,33 @@ class EgoNet:
         record (spec egonet.py:341-408).
 
         ``alpha_mode`` is accepted for signature parity; the angles were
-        already computed in the fused forward.  ``refine`` applies host-side
-        PnP refinement (legacy extras) before emission.
+        already computed in the fused forward — except when a record carries
+        3D boxes from an external SMOKE detector (see below).  ``refine``
+        applies host-side PnP refinement (legacy extras) before emission.
+
+        SMOKE support (legacy extras, inference_legacy.py:621-622,885-908):
+        when ``annot_dict['kpts_3d_SMOKE']`` was provided, each record gets
+        ``kpts_3d_abs`` — the SMOKE 3D center prepended to the predicted
+        relative cuboid ([N, 33, 3], legacy p3d layout) — and, for
+        ``alpha_mode='trans'``, the observation angle is recomputed from
+        that real 3D location instead of the relative first point.
         """
         import os
         from egonet_tpu.io import kitti_writer
         for img_path, rec in records.items():
+            if "kpts_3d_SMOKE" in rec and len(rec.get("kpts_3d_pred", [])):
+                smoke = np.asarray(rec["kpts_3d_SMOKE"], np.float64)
+                smoke = smoke.reshape(len(rec["kpts_3d_pred"]), -1, 3)
+                centers = smoke[:, :1, :]
+                rec["kpts_3d_abs"] = np.concatenate(
+                    [centers, np.asarray(rec["kpts_3d_pred"])], axis=1)
+                if alpha_mode == "trans":
+                    ry = np.asarray(rec["euler_angles"])[:, 1]
+                    x3, z3 = centers[:, 0, 0], centers[:, 0, 2]
+                    alphas = ry - np.arctan2(-z3, x3) - 0.5 * np.pi
+                    rec["translation"] = centers[:, 0, :]
+                    rec["alphas"] = np.mod(alphas + np.pi,
+                                           2.0 * np.pi) - np.pi
             if refine:
                 from egonet_tpu.eval.refinement import refine_record
                 refine_record(rec)

@@ -62,6 +62,14 @@ def plot_3d_objects(record, color="r", save_path=None):
     if "kpts_3d_before" in record:
         before = np.asarray(record["kpts_3d_before"])
         vp.plot_scene_3dbox(ax, list(before), color="m")
+    if "kpts_3d_SMOKE" in record:
+        # magenta SMOKE boxes (legacy inference_legacy.py:802-809); the
+        # SMOKE layout is center-first, corners follow
+        smoke = [np.asarray(s).reshape(-1, 3) for s in
+                 record["kpts_3d_SMOKE"]]
+        vp.plot_scene_3dbox(
+            ax, [s[1:9] if len(s) >= 9 else s[:8] for s in smoke],
+            color="m")
     if "pose_vecs_gt" in record:
         vp.draw_pose_vecs(ax, record["pose_vecs_gt"])
     ax.invert_yaxis()   # camera y points down

@@ -238,3 +238,45 @@ def test_stream_annot_dicts_sharded(setup):
         for path in direct:
             np.testing.assert_allclose(records[path]["alphas"],
                                        direct[path]["alphas"], atol=1e-4)
+
+
+def test_smoke_3d_box_passthrough(setup, tmp_path):
+    """External SMOKE 3D boxes ride through the pipeline (legacy extras,
+    inference_legacy.py:621-622): the record gets the absolute p3d layout
+    (SMOKE center + 32 relative points) and alpha_mode='trans' recomputes
+    the observation angle from the SMOKE 3D location."""
+    _, root, _, cfg, model, ds = setup
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    n = len(rec["bbox_2d"])
+    rng = np.random.RandomState(7)
+    # center-first 9-point SMOKE cuboids in camera coordinates
+    smoke = np.concatenate(
+        [np.stack([rng.uniform(-10, 10, n), rng.uniform(1, 2, n),
+                   rng.uniform(8, 40, n)], axis=1)[:, None, :],
+         rng.randn(n, 8, 3)], axis=1)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]],
+             "kpts_3d_SMOKE": [smoke]}
+    records = model(annot, alpha_mode="trans")
+    out = records[path]
+    np.testing.assert_array_equal(out["kpts_3d_SMOKE"], smoke)
+    model.post_process(records, alpha_mode="trans",
+                       save_dict={"flag": True,
+                                  "save_dir": str(tmp_path / "smoke")})
+    assert out["kpts_3d_abs"].shape == (n, 33, 3)
+    np.testing.assert_array_equal(out["kpts_3d_abs"][:, 0], smoke[:, 0])
+    np.testing.assert_array_equal(out["translation"], smoke[:, 0])
+    ry = out["euler_angles"][:, 1]
+    expect = np.mod(ry - np.arctan2(-smoke[:, 0, 2], smoke[:, 0, 0])
+                    - 0.5 * np.pi + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(out["alphas"], expect, atol=1e-9)
+    # emitted alpha field (index 3) carries the recomputed value
+    line = out["pred_str"].splitlines()[0].split()
+    assert np.isclose(float(line[3]), out["alphas"][0], atol=5e-7)
+    # 3D overlay renders the magenta SMOKE boxes
+    from egonet_tpu.visualization import overlays
+    p = overlays.plot_3d_objects(out,
+                                 save_path=str(tmp_path / "smoke3d.png"))
+    assert os.path.getsize(p) > 1000
