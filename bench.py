@@ -213,7 +213,10 @@ def main():
     if flops:
         per_crop = flops / batch
         extra["flops_per_crop"] = round(per_crop / 1e9, 2)      # GFLOP
-        extra["mfu"] = round((flops / step_dt) / V5E_BF16_PEAK_FLOPS, 4)
+        if dtype == jnp.bfloat16:
+            # MFU only for the bf16 run: an f32 run mixes bf16-pass matmul
+            # emulation whose peak differs, so the ratio would mislead
+            extra["mfu"] = round((flops / step_dt) / V5E_BF16_PEAK_FLOPS, 4)
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
             e2e = bench_e2e(model, "/tmp/egonet_bench_e2e")

@@ -10,10 +10,13 @@ import os
 # Force CPU regardless of the ambient platform (the environment exports
 # JAX_PLATFORMS=axon for the tunneled TPU; tests must not claim the chip).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import re  # noqa: E402
+# replace (not keep) any pre-existing count: an ambient flag with a
+# different device count would silently break every 8-device mesh test
+_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", "")).strip()
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402

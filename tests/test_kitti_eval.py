@@ -166,7 +166,7 @@ def test_difficulty_gates_clean_data():
     gts = [g_clear, g_occl, g_trunc, g_small, g_van, g_ped]
     # easy: only the clear gt counts; occl/trunc/small/van ignored; ped -1
     ig, dc, _, n_gt = ke.clean_data(0, gts, [], difficulty=0)
-    assert ig == [0, 1, 1, 1, 0 if False else 1, -1]
+    assert ig == [0, 1, 1, 1, 1, -1]   # Van: neighbor class -> ignored
     assert n_gt == 1
     # hard: occ<=2, trunc<=0.5, height>=25 all pass
     ig, _, _, n_gt = ke.clean_data(0, gts, [], difficulty=2)

@@ -50,11 +50,15 @@ def test_igr_train_step_decreases_nothing_but_runs(kitti_root):
     loader = IGRBatchLoader(ds.records, cfg, train=True)
     batch = next(loader.epoch())
     state = trainer.init_state(0)
+    before = [np.asarray(p) for p in
+              jax.tree_util.tree_leaves(state.params)]
     state2, metrics = trainer.train_step(state, batch, apply_cr=False)
     assert np.isfinite(float(metrics["loss"]))
     assert "hm" in metrics and "coor" in metrics
-    # params changed
-    p0 = jax.tree_util.tree_leaves(state2.params)[0]
+    after = [np.asarray(p) for p in
+             jax.tree_util.tree_leaves(state2.params)]
+    assert any(np.abs(b - a).max() > 0 for b, a in zip(before, after)), \
+        "optimizer update left every parameter unchanged"
     assert int(state2.step) == 1
     # a second step with cr enabled
     state3, metrics = trainer.train_step(state2, batch, apply_cr=True)

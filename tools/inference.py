@@ -119,9 +119,13 @@ def inference(dataset, model, results, cfgs, logger):
                                 enlarge=enlarge)
             if annot["path"]:
                 save_dir = make_output_dir(cfgs, "submission")
-                # boxes were already enlarged by gather_dict; crop as-is
+                # the reference enlarges TWICE on this path: gather_dict
+                # applies enlarge_factor (1.2), then crop_single_instance
+                # re-applies modify_bbox's default 1.1 on the already
+                # aspect-fixed box (egonet.py:81, img_proc.py:453) — so the
+                # crop here must use 1.1, not 1.0
                 pending.append((model.dispatch_annot_dict(
-                    annot, enlarge=1.0, alpha_mode=alpha_mode), save_dir))
+                    annot, enlarge=1.1, alpha_mode=alpha_mode), save_dir))
                 flush(1)
         if start // batch_size >= cfgs.get("batch_to_show", 10 ** 9) - 1:
             break
@@ -161,16 +165,28 @@ def main(argv=None):
     evaluator = os.path.join(os.path.dirname(__file__), "kitti-eval",
                              "evaluate_object_3d_offline")
     label_dir = os.path.join(cfgs["dataset"]["root"], "training", "label_2")
-    if os.path.exists(evaluator) and os.path.isdir(output_dir):
-        out = subprocess.check_output(f"{evaluator} {label_dir} {output_dir}",
-                                      shell=True)
+    if not os.path.isdir(output_dir):
+        return
+    if os.path.exists(evaluator):
+        out = subprocess.check_output([evaluator, label_dir, output_dir])
         print(out.decode())
-        # PR-curve artifacts from the stats files (reference parity:
-        # r40.cpp:708-776 emits gnuplot figures into <result_dir>/plot)
-        from egonet_tpu.eval.plots import plot_pr_curves
-        for p in plot_pr_curves(output_dir):
-            logger.info(f"wrote {p}")
-        return out
+    else:
+        # the C++ binary ships as source (make -C tools/kitti-eval); fall
+        # back to the parity-tested Python twin rather than silently
+        # skipping the evaluation
+        logger.info("C++ evaluator not built (make -C tools/kitti-eval); "
+                    "using the Python evaluator")
+        from egonet_tpu.eval import kitti_eval as ke
+        results = ke.evaluate(label_dir, output_dir)   # writes stats files
+        out = (ke.format_summary(results, style="r40") + "\n"
+               + ke.format_summary(results, style="r11")).encode()
+        print(out.decode())
+    # PR-curve artifacts from the stats files (reference parity:
+    # r40.cpp:708-776 emits gnuplot figures into <result_dir>/plot)
+    from egonet_tpu.eval.plots import plot_pr_curves
+    for p in plot_pr_curves(output_dir):
+        logger.info(f"wrote {p}")
+    return out
 
 
 if __name__ == "__main__":

@@ -86,8 +86,7 @@ def main(argv=None):
     logger.info(f"training done: {history[-1] if history else 'no steps'}")
 
     # save both native (orbax/msgpack) and torch-compatible checkpoints
-    ckpt_dir = os.path.join(out_dir, "checkpoints")
-    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_dir = ckpt_out
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
     checkpoint.save_variables(os.path.join(ckpt_dir, "HC.msgpack"), variables)
