@@ -544,3 +544,37 @@ def test_hrnet_w32_ped_full_scale_conversion_parity(rng):
                                ref_coords.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_maps),
                                ref_maps.numpy(), atol=2e-4)
+
+
+def test_submission_crop_chain_parity(rng):
+    """The full detector-box crop chain — gather_dict's modify_bbox
+    (enlarge_factor) followed by the crop's second modify_bbox (default
+    1.1, egonet.py:81) — must reproduce the reference's effective affine
+    matrix for every box.  The reference enlarges TWICE on this path;
+    cropping the gathered boxes as-is is ~10% too tight (caught in r2)."""
+    rip = _ref_img_proc()
+    from egonet_tpu.ops import affine
+
+    width = height = 256
+    target_ar = height / width
+    for _ in range(25):
+        x1, y1 = rng.uniform(0, 900), rng.uniform(0, 250)
+        bbox = np.array([x1, y1, x1 + rng.uniform(30, 300),
+                         y1 + rng.uniform(20, 150)])
+
+        # reference chain: gather_dict (inference.py:112-117) then
+        # crop_single_instance (egonet.py:76-84)
+        gathered = rip.modify_bbox(bbox, target_ar=target_ar, enlarge=1.2)
+        ret = rip.modify_bbox(np.asarray(gathered["bbox"]), target_ar)
+        ref_mat = rip.get_affine_transform(ret["c"], ret["s"], 0.0,
+                                           (height, width))
+
+        # ours: tools/inference.py gather_dict -> dispatch(enlarge=1.1)
+        ours_gathered = affine.modify_bbox(bbox, target_ar=target_ar,
+                                           enlarge=1.2)
+        mats = affine.crop_matrices_for_boxes(
+            np.asarray(ours_gathered["bbox"])[None], (height, width),
+            target_ar, enlarge=1.1)
+        # cv2.getAffineTransform's LU solve vs our closed form: ~1e-7 rel
+        np.testing.assert_allclose(mats["fwd"][0], ref_mat,
+                                   rtol=1e-6, atol=1e-6)
