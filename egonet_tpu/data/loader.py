@@ -159,7 +159,7 @@ class IGRBatchLoader:
         b = len(chunk)
         images = np.zeros((b, hc, wc, 3), np.uint8)
         inv_mats, img_idx, joints_local = [], [], []
-        centers, scales, orig_joints, ids = [], [], [], []
+        centers, scales, orig_joints, ids, whs = [], [], [], [], []
         decoded = self._decode_chunk([rec["path"] for rec in chunk])
         for i, rec in enumerate(chunk):
             img = decoded[i]
@@ -186,6 +186,7 @@ class IGRBatchLoader:
                 scales.append(s)
                 orig_joints.append(kpts[:, :2][None])
                 ids.append((i, j))
+                whs.append((w, h))          # source size for add_xy maps
 
         m = len(img_idx)
         cap = self.max_instances
@@ -198,6 +199,7 @@ class IGRBatchLoader:
             scales = [scales[c] for c in chosen]
             orig_joints = [orig_joints[c] for c in chosen]
             ids = [ids[c] for c in chosen]
+            whs = [whs[c] for c in chosen]
             m = cap
         pad = cap - m
         k = joints_local[0].shape[1] if joints_local else 33
@@ -212,6 +214,7 @@ class IGRBatchLoader:
             inv_mats = inv_mats + [inv_mats[s] for s in pad_src]
             joints_pad = joints_local + [joints_local[s] for s in pad_src]
             img_idx_pad = img_idx + [img_idx[s] for s in pad_src]
+            whs = whs + [whs[s] for s in pad_src]
         batch = {
             "images": images,
             "inv_mats": np.concatenate(inv_mats).astype(np.float32) if m else
@@ -222,6 +225,8 @@ class IGRBatchLoader:
             if m else np.zeros((cap, k, 3), np.float32),
             "mask": np.concatenate(
                 [np.ones(m, np.float32), np.zeros(pad, np.float32)]),
+            "img_wh": (np.asarray(whs, np.float32) if m
+                       else np.ones((cap, 2), np.float32)),
         }
         # host-side metadata for metric evaluation (not shipped to device)
         batch["meta"] = {
@@ -278,6 +283,7 @@ class IGRBatchLoader:
             idx = m + n
             batch["inv_mats"][idx] = inv.astype(np.float32)
             batch["img_idx"][idx] = img_slot
+            batch["img_wh"][idx] = (w, h)
             batch["mask"][idx] = 1.0
             batch["sup_mask"][idx] = 0.0
         return batch

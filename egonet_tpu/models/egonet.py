@@ -159,12 +159,14 @@ class EgoNet:
     # ------------------------------------------------------------------
 
     def _core(self, hrnet_vars, lifter_vars, ls, images, inv_mats, img_idx,
-              valid, K_f, K_cx, alpha_mode: str):
+              valid, K_f, K_cx, img_wh=None, *, alpha_mode: str):
         """One fused program: crops -> screen kpts -> cuboids -> angles.
 
         images: [B, Hc, Wc, 3] uint8;  inv_mats: [N, 2, 3] float32;
         img_idx: [N] int32; valid: [N] float32; K_f/K_cx: [N] per-instance
-        focal length and principal point x.
+        focal length and principal point x.  img_wh: [N, 2] per-instance
+        source (width, height), required only for ``add_xy`` models
+        (the reference concatenates xy maps at egonet.py:91-93).
         """
         width, height = self.resolution
         mean = jnp.asarray(IMAGENET_MEAN)
@@ -178,6 +180,13 @@ class EgoNet:
         # match the reference's uint8 warp output before ToTensor()
         crops = (jnp.round(patches.astype(jnp.float32))
                  / 255.0 - mean) / std                      # [N, H, W, 3]
+        if self.add_xy:
+            if img_wh is None:
+                raise ValueError("add_xy models need per-instance img_wh")
+            xy = affine.xy_maps_from_inv_mats(inv_mats, (height, width),
+                                              img_wh)
+            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
+                                    axis=-1)                # [N, H, W, 5]
 
         _maps, coords = self.hrnet.apply(hrnet_vars, crops, train=False)
         local = coords * jnp.asarray([width, height], jnp.float32)
@@ -254,7 +263,7 @@ class EgoNet:
 
         images = np.zeros((n_img, canvas_hw[0], canvas_hw[1], 3), np.uint8)
         inv_mats, img_idx, centers, scales, rbs = [], [], [], [], []
-        per_image_counts = []
+        per_image_counts, whs = [], []
         if "images" in annot_dict:
             decoded = annot_dict["images"]
         else:
@@ -282,6 +291,7 @@ class EgoNet:
             scales.append(mats["scale"])
             rbs.append(mats["bbox_resize"])
             img_idx.extend([i] * len(boxes))
+            whs.extend([(w, h)] * len(boxes))
 
         n_total = int(sum(per_image_counts))
         if n_total == 0:
@@ -308,6 +318,8 @@ class EgoNet:
         img_idx = np.concatenate([img_idx, np.zeros(pad, np.int32)])
         K_f = np.concatenate([K_f, np.ones(pad, np.float32)])
         K_cx = np.concatenate([K_cx, np.zeros(pad, np.float32)])
+        img_wh = np.concatenate([np.asarray(whs, np.float32),
+                                 np.ones((pad, 2), np.float32)])
 
         ls = self.ls_stats
         if self.mesh is not None:
@@ -324,16 +336,22 @@ class EgoNet:
                 valid = np.concatenate([valid, np.zeros(extra, np.float32)])
                 K_f = np.concatenate([K_f, np.ones(extra, np.float32)])
                 K_cx = np.concatenate([K_cx, np.zeros(extra, np.float32)])
+                img_wh = np.concatenate(
+                    [img_wh, np.ones((extra, 2), np.float32)])
             dev_args = (jax.device_put(images, rsh),
                         jax.device_put(inv_mats.astype(np.float32), bsh),
                         jax.device_put(img_idx, bsh),
                         jax.device_put(valid, bsh),
                         jax.device_put(K_f, bsh),
                         jax.device_put(K_cx, bsh))
+            if self.add_xy:
+                dev_args += (jax.device_put(img_wh, bsh),)
         else:
             dev_args = (jnp.asarray(images), jnp.asarray(inv_mats),
                         jnp.asarray(img_idx), jnp.asarray(valid),
                         jnp.asarray(K_f), jnp.asarray(K_cx))
+            if self.add_xy:
+                dev_args += (jnp.asarray(img_wh),)
         out = self._get_jitted(alpha_mode)(
             self.hrnet_vars, self.lifter_vars, ls, *dev_args)
         ctx = dict(annot_dict=annot_dict, paths=paths,

@@ -462,6 +462,40 @@ def warp_instances(image: jax.Array,
     return crops
 
 
+def xy_maps_from_inv_mats(inv_mats: jax.Array, out_hw,
+                          img_wh: jax.Array) -> jax.Array:
+    """Device-side xy coordinate channels for a batch of crops (the
+    ``add_xy`` 5-channel input augmentation).
+
+    Reproduces ``generate_xy_map`` (spec img_proc.py:193-211): normalized
+    [-1, 1] source-image coordinates linspaced INCLUSIVELY over the crop's
+    modified bbox.  The bbox corners are recovered from the axis-aligned
+    patch->source affines: x1 = inv[0, 2] (the source x of output column
+    0), x2 = x1 + inv[0, 0] * out_w.
+
+    inv_mats: [N, 2, 3]; img_wh: [N, 2] per-instance SOURCE image
+    (width, height) — the true decoded size, not the padded canvas.
+    Returns [N, out_h, out_w, 2] float32.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    inv_mats = inv_mats.astype(jnp.float32)
+    x1 = inv_mats[:, 0, 2]
+    x2 = x1 + inv_mats[:, 0, 0] * out_w
+    y1 = inv_mats[:, 1, 2]
+    y2 = y1 + inv_mats[:, 1, 1] * out_h
+    ramp_x = jnp.arange(out_w, dtype=jnp.float32) / (out_w - 1)   # [W]
+    ramp_y = jnp.arange(out_h, dtype=jnp.float32) / (out_h - 1)   # [H]
+    xs = x1[:, None] + (x2 - x1)[:, None] * ramp_x[None]          # [N, W]
+    ys = y1[:, None] + (y2 - y1)[:, None] * ramp_y[None]          # [N, H]
+    x_map = 2.0 * xs / img_wh[:, 0:1] - 1.0
+    y_map = 2.0 * ys / img_wh[:, 1:2] - 1.0
+    x_map = jnp.broadcast_to(x_map[:, None, :, None],
+                             (len(inv_mats), out_h, out_w, 1))
+    y_map = jnp.broadcast_to(y_map[:, :, None, None],
+                             (len(inv_mats), out_h, out_w, 1))
+    return jnp.concatenate([x_map, y_map], axis=-1)
+
+
 def batched_affine_transform(pts: jax.Array, mats: jax.Array) -> jax.Array:
     """Apply per-instance [2,3] affines to [N, K, 2] points on device.
 

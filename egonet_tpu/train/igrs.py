@@ -82,13 +82,20 @@ class IGRTrainer:
     # ------------------------------------------------------------------
 
     def _crops_from_batch(self, batch):
-        """Device-side warp + normalize of all instances in the batch."""
+        """Device-side warp + normalize of all instances in the batch
+        (+ the xy coordinate channels for add_xy 5-channel models)."""
         w, h = self.input_size
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        return (jnp.round(patches) / 255.0 - mean) / std
+        crops = (jnp.round(patches) / 255.0 - mean) / std
+        if self.cfgs["heatmapModel"].get("add_xy"):
+            xy = affine.xy_maps_from_inv_mats(batch["inv_mats"], (h, w),
+                                              batch["img_wh"])
+            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
+                                    axis=-1)
+        return crops
 
     def _loss_fn(self, params, batch_stats, batch, apply_cr):
         crops = self._crops_from_batch(batch)

@@ -176,3 +176,26 @@ def test_crop_matrices_closed_form_matches_three_point_solve(rng):
             np.testing.assert_allclose(got["scale"][i], s, atol=1e-12)
             np.testing.assert_allclose(got["bbox_resize"][i], ret["bbox"],
                                        atol=1e-9)
+
+
+def test_xy_maps_match_host_generate_xy_map():
+    """Device xy coordinate channels (add_xy) equal the host
+    generate_xy_map built from the same modified bbox (img_proc.py:193-211
+    semantics: inclusive [-1,1] linspace over the crop bbox)."""
+    import jax.numpy as jnp
+    from egonet_tpu.ops import affine
+    rng = np.random.RandomState(11)
+    g_w, g_h = 1242, 375
+    height = width = 64
+    boxes = np.stack([rng.uniform(0, 900, 5), rng.uniform(0, 200, 5),
+                      rng.uniform(950, 1200, 5), rng.uniform(220, 370, 5)],
+                     axis=1)
+    mats = affine.crop_matrices_for_boxes(boxes, (height, width),
+                                          height / width, 1.1)
+    dev = np.asarray(affine.xy_maps_from_inv_mats(
+        jnp.asarray(mats["inv"].astype(np.float32)), (height, width),
+        jnp.asarray(np.tile([[g_w, g_h]], (5, 1)).astype(np.float32))))
+    for i in range(5):
+        host = affine.generate_xy_map(mats["bbox_resize"][i],
+                                      (width, height), (g_h, g_w))
+        np.testing.assert_allclose(dev[i], host, atol=2e-5)

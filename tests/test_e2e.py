@@ -280,3 +280,22 @@ def test_smoke_3d_box_passthrough(setup, tmp_path):
     p = overlays.plot_3d_objects(out,
                                  save_path=str(tmp_path / "smoke3d.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_add_xy_five_channel_pipeline(setup):
+    """add_xy=True runs end-to-end: the fused program concatenates the
+    [-1,1] xy coordinate channels (reference egonet.py:91-93) so the
+    5-channel HRNet stem actually receives 5 channels — previously only
+    the model was widened and inference crashed on shape mismatch."""
+    _, root, _, _, _, ds = setup
+    cfg = small_cfg(root)
+    cfg["heatmapModel"]["add_xy"] = True
+    from egonet_tpu.models.egonet import EgoNet
+    model = EgoNet(cfg, pre_trained=False)
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]]}
+    out = model(annot)[path]
+    assert out["kpts_3d_pred"].shape[1:] == (32, 3)
+    assert np.all(np.isfinite(out["alphas"]))

@@ -381,3 +381,22 @@ def test_kitti_paths_trainvalid():
     assert p.list_file.endswith("training/ImageSets/trainval.txt")
     assert KITTIPaths("/d", "test").image_dir == "/d/testing/image_2"
     assert KITTIPaths("/d", "valid").image_dir == "/d/training/image_2"
+
+
+def test_add_xy_training_step(kitti_root):
+    """The training path builds the xy channels too (loader carries
+    per-instance source sizes; the warp output is concatenated with the
+    coordinate maps before the 5-channel stem)."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    from egonet_tpu.data.loader import IGRBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    cfg["heatmapModel"]["add_xy"] = True
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    loader = IGRBatchLoader(ds.records, cfg, train=True, max_instances=8)
+    batch = next(loader.epoch())
+    assert batch["img_wh"].shape == (8, 2)
+    assert (batch["img_wh"] > 1).all()       # real sizes, incl. pad slots
+    state = trainer.init_state(0)
+    state, metrics = trainer.train_step(state, batch, apply_cr=False)
+    assert np.isfinite(float(metrics["loss"]))
