@@ -62,6 +62,13 @@ class EgoNet:
         self.cfgs = cfgs
         self.dtype = dtype
         self.mesh = mesh
+        # normalization statistics come from the config when given
+        # (reference dataset.pth_transform, car_instance.py:522-528);
+        # every shipped config uses the ImageNet values
+        pth = cfgs.get("dataset", {}).get("pth_transform", {}) or {}
+        self.norm_mean = np.asarray(pth.get("mean", IMAGENET_MEAN),
+                                    np.float32)
+        self.norm_std = np.asarray(pth.get("std", IMAGENET_STD), np.float32)
         hm = cfgs["heatmapModel"]
         self.resolution = tuple(hm["input_size"])           # (width, height)
         self.add_xy = bool(hm.get("add_xy", False))
@@ -169,8 +176,8 @@ class EgoNet:
         (the reference concatenates xy maps at egonet.py:91-93).
         """
         width, height = self.resolution
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
+        mean = jnp.asarray(self.norm_mean)
+        std = jnp.asarray(self.norm_std)
 
         # crops are rotation-free -> separable warp runs on the MXU; bf16
         # runs keep the warp intermediates bf16 (halves their HBM traffic)

@@ -96,8 +96,11 @@ class AngleTrainer:
         w, h = self.input_size
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
+        pth = self.cfgs.get("dataset", {}).get("pth_transform", {}) or {}
+        mean = jnp.asarray(np.asarray(pth.get("mean", IMAGENET_MEAN),
+                                      np.float32))
+        std = jnp.asarray(np.asarray(pth.get("std", IMAGENET_STD),
+                                     np.float32))
         return (jnp.round(patches) / 255.0 - mean) / std
 
     def _loss_fn(self, params, batch_stats, batch):

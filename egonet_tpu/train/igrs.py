@@ -85,8 +85,11 @@ class IGRTrainer:
         """Device-side warp + normalize of all instances in the batch
         (+ the xy coordinate channels for add_xy 5-channel models)."""
         w, h = self.input_size
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
+        pth = self.cfgs.get("dataset", {}).get("pth_transform", {}) or {}
+        mean = jnp.asarray(np.asarray(pth.get("mean", IMAGENET_MEAN),
+                                      np.float32))
+        std = jnp.asarray(np.asarray(pth.get("std", IMAGENET_STD),
+                                     np.float32))
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
         crops = (jnp.round(patches) / 255.0 - mean) / std
@@ -240,7 +243,14 @@ class IGRTrainer:
         epochs = epochs or int(settings.get("total_epochs", 1))
         report_every = report_every or int(settings.get("report_every", 30))
         eval_during = bool(settings.get("eval_during", False))
+        # mid-epoch evaluation cadence (reference trainer.py:242-254:
+        # evaluate every eval_every batches when eval_during is set, only
+        # after eval_start_epoch)
+        eval_every = int(settings.get("eval_every", 0) or 0)
+        eval_start_epoch = int(settings.get("eval_start_epoch", 0) or 0)
         snapshot_epochs = set(settings.get("snapshot_epochs", []))
+        debug_cfg = settings.get("debug", {}) or {}
+        dump_debug = bool(debug_cfg.get("save")) and snapshot_dir
         loader = IGRBatchLoader(train_records, self.cfgs, train=True,
                                 seed=seed, ss_record=ss_record,
                                 ss_img_root=ss_img_root,
@@ -258,8 +268,16 @@ class IGRTrainer:
             # scalar before dispatching i+1 serializes a device round-trip
             # per step; a depth-1 window keeps the device busy
             pending_loss = None
-            for batch in loader.prefetched_epoch(
-                    device_fn=self._device_batch):
+
+            def _prep(b):
+                # transfer on the producer thread, but keep the host-side
+                # meta alongside for the periodic debug dumps
+                meta = b.get("meta")
+                db = dict(self._device_batch(b))
+                db["meta"] = meta
+                return db
+
+            for batch in loader.prefetched_epoch(device_fn=_prep):
                 state, metrics = self.train_step(state, batch, apply_cr)
                 n_batches += 1
                 if pending_loss is not None:
@@ -270,6 +288,20 @@ class IGRTrainer:
                     self.logger.info(
                         f"epoch {epoch} batch {n_batches} "
                         f"loss {running / (n_batches - 1):.5f}")
+                if dump_debug and n_batches % report_every == 0:
+                    # periodic keypoint/heatmap grids (reference
+                    # trainer.py:224-234, every report cycle)
+                    self.debug_dump(
+                        state, batch,
+                        f"{snapshot_dir}/debug/e{epoch}_b{n_batches}")
+                # reference gating (trainer.py:242-243): strictly after
+                # eval_start_epoch (default 0 -> no mid-epoch eval in the
+                # first epoch) and never on a period's batch 0
+                batch_idx = n_batches - 1
+                if (eval_during and valid_records and eval_every
+                        and epoch > eval_start_epoch and batch_idx
+                        and batch_idx % eval_every == 0):
+                    self.evaluate(state, valid_records)
             if pending_loss is not None:
                 running += float(pending_loss)
             dt = time.time() - t0

@@ -60,7 +60,21 @@ class LiftingTrainer:
             {"params": params, "batch_stats": batch_stats},
             batch["input"], train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_rng})
-        loss = losses.mse_loss_1d(out, batch["output"], batch["mask"])
+        # loss selection per FCModel.loss_type / loss_reduction (reference
+        # train_cascade, trainer.py:50-53; shipped: MSELoss1D, 'mean')
+        fc = self.cfgs.get("FCModel", {})
+        loss_type = fc.get("loss_type", "MSELoss1D")
+        if loss_type == "MSELoss1D":
+            loss_fn = losses.mse_loss_1d
+        elif loss_type == "SmoothL1Loss1D":
+            loss_fn = losses.smooth_l1_loss_1d
+        else:
+            raise NotImplementedError(loss_type)
+        loss = loss_fn(out, batch["output"], batch["mask"])
+        if fc.get("loss_reduction", "mean") == "sum":
+            # torch reduction='sum': total instead of per-element mean
+            loss = loss * jnp.sum(
+                jnp.broadcast_to(batch["mask"][:, None], out.shape))
         return loss, new_state["batch_stats"]
 
     def _make_train_step(self):

@@ -198,11 +198,18 @@ class JointDistance3D:
 
 
 class RError3D:
-    """Relative-shape error: per-joint translation + residual rotation."""
+    """Relative-shape error: per-joint translation + residual rotation.
+
+    T_style/R_style come from ``cfgs['metrics']['R3D']`` (reference
+    criterions.py:397-398; shipped values 'direct'/'euler')."""
 
     def __init__(self, cfgs=None, num_joints=9):
         self.name = "RError3D"
         self.num_joints = num_joints - 1
+        styles = (cfgs or {}).get("metrics", {}).get("R3D", {})
+        self.T_style = styles.get("T_style", "direct")
+        if styles.get("R_style", "euler") != "euler":
+            raise NotImplementedError(styles["R_style"])
         self.rT = _Accumulator(self.num_joints)
         self.R = _Accumulator(3)
 
@@ -210,7 +217,7 @@ class RError3D:
                logger=None):
         p = np.asarray(prediction)
         g = np.asarray(ground_truth)
-        self.rT.update(joint_distances_3d(p, g))
+        self.rT.update(joint_distances_3d(p, g, self.T_style))
         self.R.update(rotation_errors_euler(p, g))
 
     def report(self, logger):
@@ -225,6 +232,10 @@ class RTError3D:
     def __init__(self, cfgs=None, num_joints=9):
         self.name = "RTError3D"
         self.num_joints = num_joints - 1
+        styles = (cfgs or {}).get("metrics", {}).get("RTError3D", {})
+        self.T_style = styles.get("T_style", "direct")
+        if styles.get("R_style", "euler") != "euler":
+            raise NotImplementedError(styles["R_style"])
         self.T = _Accumulator(1)
         self.rT = _Accumulator(self.num_joints)
         self.R = _Accumulator(3)
@@ -233,8 +244,8 @@ class RTError3D:
                logger=None):
         p = np.asarray(prediction)
         g = np.asarray(ground_truth)
-        self.T.update(joint_distances_3d(p[:, :3], g[:, :3]))
-        self.rT.update(joint_distances_3d(p[:, 3:], g[:, 3:]))
+        self.T.update(joint_distances_3d(p[:, :3], g[:, :3], self.T_style))
+        self.rT.update(joint_distances_3d(p[:, 3:], g[:, 3:], self.T_style))
         self.R.update(rotation_errors_euler(p[:, 3:], g[:, 3:]))
 
     def report(self, logger):

@@ -400,3 +400,90 @@ def test_add_xy_training_step(kitti_root):
     state = trainer.init_state(0)
     state, metrics = trainer.train_step(state, batch, apply_cr=False)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fit_writes_debug_dumps(kitti_root, tmp_path):
+    """training_settings.debug.save dumps keypoint/heatmap grids every
+    report cycle DURING fit() (reference trainer.py:224-234) — previously
+    debug_dump existed but the loop never called it."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    cfg["training_settings"]["debug"] = {
+        "save": True, "save_images_kpts": True,
+        "save_hms_gt": True, "save_hms_pred": True}
+    cfg["training_settings"]["report_every"] = 1
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap, exist_ok=True)
+    trainer.fit(ds.records, epochs=1, snapshot_dir=snap)
+    dumped = os.listdir(os.path.join(snap, "debug"))
+    assert any(f.endswith(".png") or f.endswith(".jpg") for f in dumped)
+
+
+def test_eval_every_mid_epoch(kitti_root, monkeypatch):
+    """training_settings.eval_every triggers MID-epoch evaluation with the
+    reference gating (trainer.py:242-243): only strictly after
+    eval_start_epoch (default 0) and never on a period's batch 0."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    cfg["training_settings"]["eval_during"] = True
+    cfg["training_settings"]["eval_every"] = 1
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    calls = []
+    monkeypatch.setattr(trainer, "evaluate",
+                        lambda state, recs, **kw: calls.append(1))
+    trainer.fit(ds.records, valid_records=ds.records, epochs=2)
+    # epoch 0: end-of-epoch only; epoch 1: mid-epoch on batches 1..N-1
+    # plus end-of-epoch
+    n_batches = len(ds.records)            # batch_size=1
+    assert len(calls) == (n_batches - 1) + 2
+
+
+def test_pth_transform_mean_std_honored(kitti_root):
+    """dataset.pth_transform mean/std from the config reach the device
+    normalization (reference car_instance.py:522-528); previously the
+    ImageNet constants were hardcoded."""
+    from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.config import default_demo_config
+    cfg = default_demo_config()
+    cfg["dataset"]["pth_transform"] = {"mean": [0.5, 0.5, 0.5],
+                                       "std": [0.25, 0.25, 0.25]}
+    model = EgoNet(cfg, pre_trained=False)
+    np.testing.assert_array_equal(model.norm_mean, [0.5, 0.5, 0.5])
+    np.testing.assert_array_equal(model.norm_std, [0.25, 0.25, 0.25])
+
+
+def test_lifting_loss_type_and_reduction(kitti_root):
+    """FCModel.loss_type selects MSE vs SmoothL1 and loss_reduction='sum'
+    scales like torch's reduction='sum' (reference trainer.py:50-53)."""
+    from egonet_tpu.train.lifting import LiftingTrainer
+    import jax
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    base = load_config(os.path.join(here, "KITTI_train_lifting.yml"))
+    base["dataset"]["root"] = kitti_root
+    base["FCModel"].update({"input_size": 8, "output_size": 6,
+                            "num_neurons": 16})
+
+    def one_loss(loss_type, reduction):
+        cfg = copy.deepcopy(base)
+        cfg["FCModel"]["loss_type"] = loss_type
+        cfg["FCModel"]["loss_reduction"] = reduction
+        tr = LiftingTrainer(cfg)
+        state = tr.init_state(0)
+        rng = np.random.RandomState(0)
+        batch = {"input": rng.randn(4, 8).astype(np.float32),
+                 "output": (rng.randn(4, 6) * 5).astype(np.float32),
+                 "mask": np.ones(4, np.float32)}
+        _, loss = tr.train_step(state, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    mean_l = one_loss("MSELoss1D", "mean")
+    sum_l = one_loss("MSELoss1D", "sum")
+    np.testing.assert_allclose(sum_l, mean_l * 4 * 6, rtol=1e-5)
+    smooth = one_loss("SmoothL1Loss1D", "mean")
+    assert smooth != mean_l                    # different loss shape
+    with pytest.raises(NotImplementedError):
+        one_loss("WingLoss", "mean")
