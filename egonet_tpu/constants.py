@@ -86,6 +86,19 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
+def norm_stats(cfgs: dict | None):
+    """(mean, std) float32 arrays for crop normalization.
+
+    Reads ``dataset.pth_transform`` when present (reference
+    car_instance.py:522-528); every shipped config uses the ImageNet
+    values.  ONE lookup shared by the inference pipeline, both trainers
+    and the debug-image denormalizer — they must never drift apart.
+    """
+    pth = (cfgs or {}).get("dataset", {}).get("pth_transform", {}) or {}
+    return (np.asarray(pth.get("mean", IMAGENET_MEAN), np.float32),
+            np.asarray(pth.get("std", IMAGENET_STD), np.float32))
+
+
 def compute_cr_indices() -> np.ndarray:
     """Derive CR_INDICES from the interpolation table (sanity helper).
 

@@ -296,9 +296,12 @@ class IGRBatchLoader:
             chunk = [self.records[i]
                      for i in order[start:start + self.batch_images]]
             batch = self._assemble(chunk)
-            # an all-padding batch (no image in the chunk has instances)
-            # carries no gradient but would still pollute BN statistics
-            if batch["meta"]["count"] == 0:
+            # an all-padding batch carries no gradient but would still
+            # pollute BN statistics.  Key on the MASK, not meta count:
+            # self-supervised crops appended into padding slots carry
+            # mask=1 (they train the cross-ratio term) and must not be
+            # dropped with the batch.
+            if float(batch["mask"].sum()) == 0.0:
                 continue
             yield batch
 

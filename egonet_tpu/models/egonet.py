@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from egonet_tpu.constants import norm_stats
 from egonet_tpu.geometry import rigid
 from egonet_tpu.models.fc_lifter import build_fc_model
 from egonet_tpu.models.hrnet import build_hrnet
@@ -62,13 +62,7 @@ class EgoNet:
         self.cfgs = cfgs
         self.dtype = dtype
         self.mesh = mesh
-        # normalization statistics come from the config when given
-        # (reference dataset.pth_transform, car_instance.py:522-528);
-        # every shipped config uses the ImageNet values
-        pth = cfgs.get("dataset", {}).get("pth_transform", {}) or {}
-        self.norm_mean = np.asarray(pth.get("mean", IMAGENET_MEAN),
-                                    np.float32)
-        self.norm_std = np.asarray(pth.get("std", IMAGENET_STD), np.float32)
+        self.norm_mean, self.norm_std = norm_stats(cfgs)
         hm = cfgs["heatmapModel"]
         self.resolution = tuple(hm["input_size"])           # (width, height)
         self.add_xy = bool(hm.get("add_xy", False))

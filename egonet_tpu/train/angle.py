@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
 from egonet_tpu.ops import affine
-from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from egonet_tpu.constants import norm_stats
 from egonet_tpu.parallel import mesh as pmesh
 from egonet_tpu.train import losses, optim
 from egonet_tpu.train.metrics import get_angle_error
@@ -96,11 +96,7 @@ class AngleTrainer:
         w, h = self.input_size
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        pth = self.cfgs.get("dataset", {}).get("pth_transform", {}) or {}
-        mean = jnp.asarray(np.asarray(pth.get("mean", IMAGENET_MEAN),
-                                      np.float32))
-        std = jnp.asarray(np.asarray(pth.get("std", IMAGENET_STD),
-                                     np.float32))
+        mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
         return (jnp.round(patches) / 255.0 - mean) / std
 
     def _loss_fn(self, params, batch_stats, batch):

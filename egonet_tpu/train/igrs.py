@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+from egonet_tpu.constants import norm_stats
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
 from egonet_tpu.ops import affine
@@ -85,11 +85,7 @@ class IGRTrainer:
         """Device-side warp + normalize of all instances in the batch
         (+ the xy coordinate channels for add_xy 5-channel models)."""
         w, h = self.input_size
-        pth = self.cfgs.get("dataset", {}).get("pth_transform", {}) or {}
-        mean = jnp.asarray(np.asarray(pth.get("mean", IMAGENET_MEAN),
-                                      np.float32))
-        std = jnp.asarray(np.asarray(pth.get("std", IMAGENET_STD),
-                                     np.float32))
+        mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
         crops = (jnp.round(patches) / 255.0 - mean) / std
@@ -294,12 +290,13 @@ class IGRTrainer:
                     self.debug_dump(
                         state, batch,
                         f"{snapshot_dir}/debug/e{epoch}_b{n_batches}")
-                # reference gating (trainer.py:242-243): strictly after
-                # eval_start_epoch (default 0 -> no mid-epoch eval in the
-                # first epoch) and never on a period's batch 0
+                # reference gating (trainer.py:242-243, 1-BASED epochs:
+                # `epoch > eval_start_epoch` with default 0 fires from the
+                # first epoch -> 0-based equivalent is >=), never on a
+                # period's batch 0
                 batch_idx = n_batches - 1
                 if (eval_during and valid_records and eval_every
-                        and epoch > eval_start_epoch and batch_idx
+                        and epoch >= eval_start_epoch and batch_idx
                         and batch_idx % eval_every == 0):
                     self.evaluate(state, valid_records)
             if pending_loss is not None:

@@ -423,8 +423,9 @@ def test_fit_writes_debug_dumps(kitti_root, tmp_path):
 
 def test_eval_every_mid_epoch(kitti_root, monkeypatch):
     """training_settings.eval_every triggers MID-epoch evaluation with the
-    reference gating (trainer.py:242-243): only strictly after
-    eval_start_epoch (default 0) and never on a period's batch 0."""
+    reference gating (trainer.py:242-243, 1-based epochs: the default
+    eval_start_epoch=0 evaluates from the FIRST epoch; never on a
+    period's batch 0)."""
     from egonet_tpu.train.igrs import IGRTrainer
     cfg = small_train_cfg(kitti_root)
     cfg["training_settings"]["eval_during"] = True
@@ -435,10 +436,20 @@ def test_eval_every_mid_epoch(kitti_root, monkeypatch):
     monkeypatch.setattr(trainer, "evaluate",
                         lambda state, recs, **kw: calls.append(1))
     trainer.fit(ds.records, valid_records=ds.records, epochs=2)
-    # epoch 0: end-of-epoch only; epoch 1: mid-epoch on batches 1..N-1
-    # plus end-of-epoch
+    # per epoch: mid-epoch on batches 1..N-1 plus the end-of-epoch call
     n_batches = len(ds.records)            # batch_size=1
-    assert len(calls) == (n_batches - 1) + 2
+    assert len(calls) == 2 * (n_batches - 1) + 2
+    # eval_start_epoch delays the mid-epoch evals (0-based here; the
+    # reference's 1-based `epoch > start` with start=0 == our `>=`)
+    cfg2 = small_train_cfg(kitti_root)
+    cfg2["training_settings"].update({"eval_during": True, "eval_every": 1,
+                                      "eval_start_epoch": 1})
+    trainer2 = IGRTrainer(cfg2)
+    calls2 = []
+    monkeypatch.setattr(trainer2, "evaluate",
+                        lambda state, recs, **kw: calls2.append(1))
+    trainer2.fit(ds.records, valid_records=ds.records, epochs=2)
+    assert len(calls2) == (n_batches - 1) + 2
 
 
 def test_pth_transform_mean_std_honored(kitti_root):
@@ -487,3 +498,56 @@ def test_lifting_loss_type_and_reduction(kitti_root):
     assert smooth != mean_l                    # different loss shape
     with pytest.raises(NotImplementedError):
         one_loss("WingLoss", "mean")
+
+
+def test_debug_dump_with_add_xy(kitti_root, tmp_path):
+    """Debug dumps work for 5-channel add_xy crops: the denormalizer drops
+    the xy channels instead of crashing on a (.., 5) x (3,) broadcast."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    cfg["heatmapModel"]["add_xy"] = True
+    cfg["training_settings"]["debug"] = {
+        "save": True, "save_images_kpts": True,
+        "save_hms_gt": True, "save_hms_pred": True}
+    cfg["training_settings"]["report_every"] = 1
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap, exist_ok=True)
+    trainer.fit(ds.records, epochs=1, snapshot_dir=snap)
+    assert os.listdir(os.path.join(snap, "debug"))
+
+
+def test_ss_only_batches_not_dropped(kitti_root, tmp_path):
+    """A chunk with zero LABELED instances but self-supervised crops keeps
+    its batch (the ss crops train the cross-ratio term with mask=1); only
+    truly all-padding batches are skipped."""
+    import cv2
+    from egonet_tpu.data.loader import IGRBatchLoader
+    cfg = small_train_cfg(kitti_root)
+    empty_img = str(tmp_path / "nolabel.png")
+    ss_img = str(tmp_path / "ss.png")
+    cv2.imwrite(empty_img, np.zeros((64, 64, 3), np.uint8))
+    cv2.imwrite(ss_img, np.full((64, 64, 3), 128, np.uint8))
+    records = [{"path": empty_img, "boxes": np.zeros((0, 4)),
+                "kpts": np.zeros((0, 33, 2))}]
+    ss_record = {"paths": [ss_img],
+                 "boxes": [np.array([[4.0, 4.0, 40.0, 40.0]])]}
+    loader = IGRBatchLoader(records, cfg, train=True, max_instances=4,
+                            ss_record=ss_record)
+    batches = list(loader.epoch(shuffle=False))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["meta"]["count"] == 0
+    assert float(b["mask"].sum()) == 1.0        # the ss crop
+    assert float(b["sup_mask"].sum()) == 0.0
+
+
+def test_denormalize_uses_config_stats():
+    """Debug-image denormalization inverts with dataset.pth_transform
+    stats, not hardcoded ImageNet constants."""
+    from egonet_tpu.visualization.debug import _denormalize
+    crops = np.zeros((1, 2, 2, 5), np.float32)       # add_xy channels too
+    out = _denormalize(crops, mean=[0.5, 0.5, 0.5], std=[0.1, 0.1, 0.1])
+    assert out.shape == (1, 2, 2, 3)
+    assert (out == 128).all() or (out == 127).all()
