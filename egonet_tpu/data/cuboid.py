@@ -50,11 +50,12 @@ def construct_box_3d(l: float, h: float, w: float,
     being negative (KITTI camera convention: y points down, the location is
     the bottom-face center).  Returns [3, 9] or [3, 9 + 12*len(coef)].
     """
-    # the reference halves l/w at float32 precision (car_instance.py:737-739);
-    # replicate for bit-level downstream parity
+    # the reference shifts at float32 precision (halved l/w, FULL h —
+    # car_instance.py:737-739); replicate all three for bit-level parity
     x_c = (np.array([0.5 * l, l, l, l, l, 0, 0, 0, 0], dtype=np.float64)
            - np.float32(l) / 2)
-    y_c = np.array([0.5 * h, 0, h, 0, h, 0, h, 0, h], dtype=np.float64) - h
+    y_c = (np.array([0.5 * h, 0, h, 0, h, 0, h, 0, h], dtype=np.float64)
+           - np.float32(h))
     z_c = (np.array([0.5 * w, w, w, 0, 0, w, w, 0, 0], dtype=np.float64)
            - np.float32(w) / 2)
     corners = np.array([x_c, y_c, z_c])

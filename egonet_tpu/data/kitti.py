@@ -335,7 +335,15 @@ class KITTIDataset:
 
     def gather_annotations(self, add_gt: bool = True,
                            filter_outlier: bool = False,
-                           use_raw_bbox: bool = True) -> dict:
+                           use_raw_bbox: bool = False) -> dict:
+        """Per-image annotation records.
+
+        ``use_raw_bbox`` defaults to False like the reference
+        (car_instance.py:352-354): GT-box inference crops from the
+        keypoint-derived box (kpts2cs of the projected cuboid,
+        enlarge=1.01), NOT the raw KITTI label box — for truncated cars
+        the label box is clipped to the visible part and the two differ
+        substantially."""
         records = {}
         for name in self.paths.image_names():
             if self.split == "test":
@@ -422,9 +430,14 @@ class KITTIDataset:
         return tuple(paths)
 
     def read_predictions(self, pred_dir: str) -> dict:
-        """Read external-detector txts (same format + score column)."""
+        """Read external-detector txts (same format + score column).
+
+        Raw detector 2D boxes are used only on the test split; on val the
+        box is re-derived from the detector's projected 3D cuboid
+        (reference car_instance.py:466) before the enlargement chain.
+        """
         records = {}
-        use_raw_bbox = True
+        use_raw_bbox = self.split == "test"
         for file_name in sorted(os.listdir(pred_dir)):
             if not file_name.endswith(".txt"):
                 continue
@@ -443,8 +456,10 @@ class KITTIDataset:
         """Cache file for precomputed projected keypoints (reference
         _prepare_key_points_custom .npy caching, :221-262)."""
         coef = "".join(f"{c:g}" for c in self.interp_coef)
-        name = (f"records_bbox12_{coef}_{self.split}_"
-                f"{'-'.join(self.classes)}.npy")
+        # enlarge_factor is part of the key: the cached records embed boxes
+        # computed with it, so a config change must miss the cache
+        name = (f"records_bbox12_{coef}_e{self.enlarge_factor:g}_"
+                f"{self.split}_{'-'.join(self.classes)}.npy")
         return pjoin(self.paths.keypoint_dir, name)
 
     def _prepare_instance_records(self, cfgs,

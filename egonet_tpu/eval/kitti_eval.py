@@ -513,7 +513,10 @@ def format_summary(results: dict, style: str = "r40") -> str:
                          f"{vals[0]:.6f} {vals[1]:.6f} {vals[2]:.6f}")
             if metric_name == "image" and "aos_" + style in diffs["easy"]:
                 vals = [diffs[d]["aos_" + style] for d in DIFFICULTIES]
-                lines.append(f"{cls}_orientation AOS: "
+                # the official evaluator prints "AP:" even for the
+                # orientation metric (r40.cpp:723: "%s AP:" with
+                # file_name "<cls>_orientation")
+                lines.append(f"{cls}_orientation AP: "
                              f"{vals[0]:.6f} {vals[1]:.6f} {vals[2]:.6f}")
     return "\n".join(lines)
 

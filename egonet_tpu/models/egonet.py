@@ -308,8 +308,13 @@ class EgoNet:
         K_f = np.array([Ks[j][0, 0] for j in img_idx], np.float32)
         K_cx = np.array([Ks[j][0, 2] for j in img_idx], np.float32)
 
-        # pad instances to a power-of-two bucket for stable compilation
+        # pad instances to a power-of-two bucket for stable compilation;
+        # on a mesh the bucket must additionally tile the data axis — round
+        # ONCE here so every per-instance array is padded in one place
         bucket = _round_up_bucket(n_total)
+        if self.mesh is not None:
+            nd = self.mesh.devices.size
+            bucket = ((bucket + nd - 1) // nd) * nd
         pad = bucket - n_total
         valid = np.concatenate([np.ones(n_total, np.float32),
                                 np.zeros(pad, np.float32)])
@@ -327,18 +332,6 @@ class EgoNet:
             from egonet_tpu.parallel import mesh as pmesh
             bsh = pmesh.batch_sharding(self.mesh)
             rsh = pmesh.replicated_sharding(self.mesh)
-            nd = self.mesh.devices.size
-            if bucket % nd:      # bucket must tile the data axis
-                extra = ((bucket + nd - 1) // nd) * nd - bucket
-                inv_mats = np.concatenate(
-                    [inv_mats, np.tile(np.eye(2, 3, dtype=np.float32)[None],
-                                       (extra, 1, 1))])
-                img_idx = np.concatenate([img_idx, np.zeros(extra, np.int32)])
-                valid = np.concatenate([valid, np.zeros(extra, np.float32)])
-                K_f = np.concatenate([K_f, np.ones(extra, np.float32)])
-                K_cx = np.concatenate([K_cx, np.zeros(extra, np.float32)])
-                img_wh = np.concatenate(
-                    [img_wh, np.ones((extra, 2), np.float32)])
             dev_args = (jax.device_put(images, rsh),
                         jax.device_put(inv_mats.astype(np.float32), bsh),
                         jax.device_put(img_idx, bsh),

@@ -48,6 +48,15 @@ class StageCfg:
                    d["num_blocks"], d["num_channels"],
                    d.get("fuse_method", "sum"))
 
+    @property
+    def widths(self):
+        """Branch output widths: num_channels scaled by the block
+        expansion (reference hrnet.py:326-355 multiplies the stage channel
+        list by block.expansion before building transitions/fuses; basic=1,
+        bottleneck=4)."""
+        exp = 4 if self.block == "bottleneck" else 1
+        return tuple(c * exp for c in self.num_channels)
+
     def _key(self):
         return (self.num_modules, self.num_branches, self.block,
                 self.num_blocks, self.num_channels, self.fuse_method)
@@ -344,13 +353,15 @@ class PoseHighResolutionNet(nn.Module):
         for b in range(4):
             x = self._bottleneck(x, 64, 1, f"layer1.{b}", train)
 
-        xs = self._transition([x], self.stage2.num_channels, "transition1",
+        # transitions target the EXPANSION-SCALED widths (reference scales
+        # num_channels by block.expansion; identical for 'basic' blocks)
+        xs = self._transition([x], self.stage2.widths, "transition1",
                               train)
         ys = self._stage(xs, self.stage2, "stage2", train)
-        xs = self._transition(ys, self.stage3.num_channels, "transition2",
+        xs = self._transition(ys, self.stage3.widths, "transition2",
                               train)
         ys = self._stage(xs, self.stage3, "stage3", train)
-        xs = self._transition(ys, self.stage4.num_channels, "transition3",
+        xs = self._transition(ys, self.stage4.widths, "transition3",
                               train)
         ys = self._stage(xs, self.stage4, "stage4", train,
                          multi_scale_output=False)

@@ -35,12 +35,20 @@ class PoseResNet(nn.Module):
     deconv_with_bias: bool = False
     dtype: Any = jnp.float32
 
+    @property
+    def _precision(self):
+        # fp32 runs want true fp32 math (the platform default is bf16) —
+        # same convention as hrnet._precision / fc_lifter
+        return (jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
     def _conv(self, x, out_ch, k, stride, name, padding=None, use_bias=False):
         if padding is None:
             padding = (k - 1) // 2
         return nn.Conv(out_ch, (k, k), strides=(stride, stride),
                        padding=[(padding, padding), (padding, padding)],
                        use_bias=use_bias, dtype=self.dtype,
+                       precision=self._precision,
                        param_dtype=jnp.float32, name=name)(x)
 
     def _bn(self, x, name, train):
@@ -95,15 +103,20 @@ class PoseResNet(nn.Module):
                 x = block(x, planes, stride if b == 0 else 1,
                           f"layer{stage}.{b}", train)
 
-        # deconvolution head: ConvTranspose (k=4, s=2, SAME-ish) + BN + ReLU
+        # deconvolution head: ConvTranspose + BN + ReLU.  transpose_kernel
+        # gives torch ConvTranspose2d semantics (kernel [kH,kW,out,in] +
+        # spatial flip), so the [in,out,kH,kW]->(2,3,1,0) checkpoint
+        # conversion rule applies unchanged; paddings verified numerically
+        # against torch for the reference _get_deconv_cfg triples
+        # (k=4/p=1, k=3/p=1/op=1, k=2/p=0 — resnet.py:152-163).
         for i in range(self.num_deconv_layers):
             k = self.num_deconv_kernels[i]
-            # torch padding/output_padding for k=4 -> exact 2x upsample
             x = nn.ConvTranspose(
                 self.num_deconv_filters[i], (k, k), strides=(2, 2),
-                padding="SAME" if k in (4, 2) else [(1, 1), (1, 1)],
+                padding="SAME" if k in (4, 2) else [(1, 2), (1, 2)],
                 use_bias=self.deconv_with_bias, dtype=self.dtype,
-                param_dtype=jnp.float32,
+                precision=self._precision,
+                param_dtype=jnp.float32, transpose_kernel=True,
                 name=f"deconv_layers.{i * 3}")(x)
             x = self._bn(x, f"deconv_layers.{i * 3 + 1}", train)
             x = nn.relu(x)

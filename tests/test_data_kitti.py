@@ -144,3 +144,42 @@ def test_kitti_writer_byte_format():
     assert s == expect
     # original dict untouched (deep copy semantics)
     assert raw[0]["rot_y"] == -1.73
+
+
+def test_inference_boxes_are_keypoint_derived(kitti_root):
+    """GT-box inference derives bbox_2d from the projected cuboid keypoints
+    (kpts2cs enlarge=1.01), NOT the raw KITTI label box — reference
+    gather_annotations default use_raw_bbox=False (car_instance.py:352-354).
+    For truncated objects the label box is clipped to the visible part."""
+    from egonet_tpu.config import default_demo_config
+    from egonet_tpu.ops import affine
+    root, _ = kitti_root
+    cfg = default_demo_config()
+    cfg["dataset"]["root"] = root
+    ds = kitti.get_dataset(cfg, split="valid")
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    for i, kp in enumerate(rec["kpts"]):
+        c, s, _, _ = affine.kpts2cs(kp[:, :2], enlarge=1.01)
+        expected = np.array(affine.cs2bbox(c, s))
+        np.testing.assert_allclose(rec["bbox_2d"][i], expected)
+    # raw label boxes differ (on the synthetic fixture only by the 1.01
+    # enlargement; on real KITTI truncated objects they differ by a lot)
+    raw = np.array([r["bbox"] for r in rec["raw_txt_format"]])
+    assert np.abs(raw - rec["bbox_2d"]).max() > 0.1
+
+
+def test_instance_record_cache_keyed_by_enlarge(kitti_root):
+    """Changing dataset.enlarge_factor must miss the record cache (the
+    cached boxes embed it)."""
+    from egonet_tpu.config import default_demo_config
+    from egonet_tpu.data.kitti import KITTIDataset
+    root, _ = kitti_root
+    cfg = default_demo_config()
+    cfg["dataset"]["root"] = root
+    cfg["exp_type"] = "instanceto2d"
+    cfg["dataset"]["enlarge_factor"] = 1.1
+    a = KITTIDataset(cfg, "train")._instance_record_cache_path()
+    cfg["dataset"]["enlarge_factor"] = 1.4
+    b = KITTIDataset(cfg, "train")._instance_record_cache_path()
+    assert a != b

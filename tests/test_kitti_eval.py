@@ -459,5 +459,5 @@ def test_python_evaluator_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "car_detection AP: 100.000000 100.000000 100.000000" in out
-    assert "car_orientation AOS:" in out
+    assert "car_orientation AP:" in out   # official label (r40.cpp:723)
     assert "car_detection.png" in out

@@ -294,7 +294,8 @@ def test_cuboid_construction_parity(rng):
         l, h, w = [float(v) for v in rng.uniform(1, 5, 3)]
         ref_box = d.construct_box_3d(l, h, w, d.interp_params)
         got_box = cb.construct_box_3d(l, h, w, interpolate=True)
-        np.testing.assert_allclose(got_box, ref_box, atol=1e-6)
+        # bit-exact: every float32 shift (l/2, FULL h, w/2) is replicated
+        np.testing.assert_array_equal(got_box, ref_box)
 
         # keep the object in front of the camera: degenerate depths amplify
         # fp noise in the projection comparison
@@ -578,3 +579,89 @@ def test_submission_crop_chain_parity(rng):
         # cv2.getAffineTransform's LU solve vs our closed form: ~1e-7 rel
         np.testing.assert_allclose(mats["fwd"][0], ref_mat,
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_hrnet_bottleneck_stage_parity(rng):
+    """Stages configured with block='bottleneck' build the reference graph:
+    transitions/fuses target num_channels * expansion (hrnet.py:326-355).
+    Latent for shipped configs (all 'basic'); pinned via full conversion +
+    forward parity on a small bottleneck-stage model."""
+    import torch
+    from libs.model.heatmapModel.hrnet import get_pose_net
+    from egonet_tpu.models.hrnet import build_hrnet
+    from egonet_tpu.io import torch_convert as tc
+    import jax
+
+    cfg = _small_hm_cfg()
+    extra = cfg["heatmapModel"]["extra"]
+    for s in ("stage2", "stage3", "stage4"):
+        extra[s]["block"] = "bottleneck"
+        extra[s]["num_blocks"] = [1] * len(extra[s]["num_blocks"])
+        extra[s]["num_modules"] = 1
+    torch.manual_seed(1)
+    ref_model = get_pose_net(cfg, is_train=False).eval()
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        _, ref_coords = ref_model(torch.from_numpy(x))
+    variables = tc.torch_to_flax(dict(ref_model.state_dict()))
+    model = build_hrnet(cfg)
+    init = jax.tree_util.tree_map(
+        np.asarray,
+        dict(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))))
+    problems = tc.check_conversion(init, variables)
+    assert problems == [], problems[:5]
+    _, got_coords = model.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_coords),
+                               ref_coords.numpy(), atol=2e-5)
+
+
+def test_pose_resnet_conversion_parity(rng):
+    """Full Simple-Baselines PoseResNet conversion + forward parity vs the
+    reference torch model, exercising all three deconv kernel recipes
+    (k=4/p=1, k=3/p=1/op=1, k=2/p=0 — resnet.py:152-163) through the
+    transpose_kernel ConvTranspose mapping."""
+    import torch
+    from types import SimpleNamespace as NS
+    from libs.model.heatmapModel.resnet import get_pose_net
+    from egonet_tpu.models.resnet import PoseResNet
+    from egonet_tpu.io import torch_convert as tc
+    import jax
+
+    cfg = NS(MODEL=NS(
+        EXTRA=NS(NUM_LAYERS=18, NUM_DECONV_LAYERS=3,
+                 NUM_DECONV_FILTERS=[16, 16, 16],
+                 NUM_DECONV_KERNELS=[4, 3, 2],
+                 DECONV_WITH_BIAS=False, FINAL_CONV_KERNEL=1),
+        NUM_JOINTS=33, INIT_WEIGHTS=False))
+    torch.manual_seed(2)
+    ref_model = get_pose_net(cfg, is_train=False).eval()
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x)).numpy()
+
+    model = PoseResNet(num_layers=18, num_joints=33,
+                       num_deconv_filters=(16, 16, 16),
+                       num_deconv_kernels=(4, 3, 2), final_conv_kernel=1)
+    variables = tc.torch_to_flax(dict(ref_model.state_dict()))
+    init = jax.tree_util.tree_map(
+        np.asarray,
+        dict(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))))
+    problems = tc.check_conversion(init, variables)
+    assert problems == [], problems[:5]
+    got = np.asarray(model.apply(variables,
+                                 jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert got.shape == ref_out.shape
+    np.testing.assert_allclose(got, ref_out, atol=3e-5)
