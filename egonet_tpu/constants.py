@@ -94,7 +94,7 @@ def norm_stats(cfgs: dict | None):
     values.  ONE lookup shared by the inference pipeline, both trainers
     and the debug-image denormalizer — they must never drift apart.
     """
-    pth = (cfgs or {}).get("dataset", {}).get("pth_transform", {}) or {}
+    pth = (((cfgs or {}).get("dataset") or {}).get("pth_transform") or {})
     return (np.asarray(pth.get("mean", IMAGENET_MEAN), np.float32),
             np.asarray(pth.get("std", IMAGENET_STD), np.float32))
 

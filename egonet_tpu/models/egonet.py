@@ -445,7 +445,7 @@ class EgoNet:
                 from egonet_tpu.visualization import overlays
                 out_dir = vis_dir or (save_dict or {}).get("save_dir", ".")
                 stem = os.path.basename(img_path)[:-4]
-                if "kpts_3d_gt" in rec and "K" in rec:
+                if rec.get("kpts_3d_gt") is not None and "K" in rec:
                     rec["arrow"] = overlays.add_orientation_arrow(
                         {"kpts_3d_pred": rec["kpts_3d_pred"],
                          "kpts_3d_gt": rec["kpts_3d_gt"], "K": rec["K"]})

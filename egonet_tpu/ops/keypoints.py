@@ -35,10 +35,12 @@ def soft_argmax(heatmaps: jax.Array):
 
 
 def soft_argmax_sumnorm(heatmaps: jax.Array):
-    """Sum-normalized (not softmax) soft argmax; clip negatives to zero.
+    """Sum-normalized (not softmax) soft argmax over UNCLIPPED activations.
 
-    Mirrors the numpy variant used for evaluation-time decoding.  Predictions
-    whose max activation is <= 0 are zeroed like the reference.
+    Mirrors the numpy variant used for evaluation-time decoding — including
+    the reference's quirk that its negative-clip is dead code (see NOTE
+    below).  Predictions whose max activation is <= 0 are zeroed like the
+    reference.
     """
     n, k, h, w = heatmaps.shape
     flat = heatmaps.reshape(n, k, h * w)

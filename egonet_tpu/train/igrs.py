@@ -186,7 +186,16 @@ class IGRTrainer:
         evaluator = Evaluator(metrics, cfgs=self.cfgs,
                               num_joints=self.cfgs["heatmapModel"]
                               ["num_joints"])
-        loader = IGRBatchLoader(records, self.cfgs, train=False)
+        # reuse one validation loader across evaluations: mid-epoch evals
+        # (eval_every) would otherwise re-decode the whole validation image
+        # set from disk every time (the loader's LRU decode cache amortizes
+        # it, like the reference's single persistent valid_dataset)
+        cached = getattr(self, "_eval_loader", None)
+        if cached is None or cached[0] is not records:
+            cached = (records,
+                      IGRBatchLoader(records, self.cfgs, train=False))
+            self._eval_loader = cached
+        loader = cached[1]
         for batch in loader.epoch(shuffle=False):
             meta = batch["meta"]
             out = self.eval_step(state, batch)
@@ -284,17 +293,18 @@ class IGRTrainer:
                     self.logger.info(
                         f"epoch {epoch} batch {n_batches} "
                         f"loss {running / (n_batches - 1):.5f}")
-                if dump_debug and n_batches % report_every == 0:
-                    # periodic keypoint/heatmap grids (reference
-                    # trainer.py:224-234, every report cycle)
+                # 0-based batch index: the reference dumps/evaluates on
+                # batch_idx % period == 0, INCLUDING each epoch's batch 0
+                # for the debug dumps (trainer.py:211-234)
+                batch_idx = n_batches - 1
+                if dump_debug and batch_idx % report_every == 0:
                     self.debug_dump(
                         state, batch,
-                        f"{snapshot_dir}/debug/e{epoch}_b{n_batches}")
-                # reference gating (trainer.py:242-243, 1-BASED epochs:
-                # `epoch > eval_start_epoch` with default 0 fires from the
-                # first epoch -> 0-based equivalent is >=), never on a
-                # period's batch 0
-                batch_idx = n_batches - 1
+                        f"{snapshot_dir}/debug/e{epoch}_b{batch_idx}")
+                # reference eval gating (trainer.py:242-243, 1-BASED
+                # epochs: `epoch > eval_start_epoch` with default 0 fires
+                # from the first epoch -> 0-based equivalent is >=),
+                # never on a period's batch 0
                 if (eval_during and valid_records and eval_every
                         and epoch >= eval_start_epoch and batch_idx
                         and batch_idx % eval_every == 0):

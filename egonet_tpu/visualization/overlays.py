@@ -50,26 +50,34 @@ def plot_2d_objects(img, record, color_dict=None, save_path=None):
 
 
 def plot_3d_objects(record, color="r", save_path=None):
-    """3D scene: predicted cuboids vs GT vs detector-input boxes."""
+    """3D scene: predicted cuboids vs GT vs detector-input boxes.
+
+    The lifter prediction is CENTER-RELATIVE; like the reference (which
+    prepends the GT/SMOKE root before plotting, inference_legacy.py:622 +
+    points.plot_scene_3dbox adding the root translation), the predicted
+    corners are shifted to a known absolute root so they share the scene
+    frame with the absolute GT/SMOKE boxes."""
     fig, ax = vp.new_3d_axis()
-    if "kpts_3d_pred" in record:
-        preds = np.asarray(record["kpts_3d_pred"])
-        vp.plot_scene_3dbox(ax, [p.reshape(-1, 3)[:8] for p in preds],
-                            color=color)
-    if "kpts_3d_gt" in record:
+    if record.get("kpts_3d_pred") is not None:
+        preds = np.asarray(record["kpts_3d_pred"])[:, :8, :]
+        if record.get("kpts_3d_abs") is not None:  # SMOKE root
+            preds = preds + np.asarray(record["kpts_3d_abs"])[:, 0:1, :]
+        elif (record.get("kpts_3d_gt") is not None
+              and len(record["kpts_3d_gt"]) == len(preds)):
+            preds = preds + np.asarray(record["kpts_3d_gt"])[:, 0:1, :]
+        vp.plot_scene_3dbox(ax, list(preds), color=color)
+    if record.get("kpts_3d_gt") is not None:
         gts = np.asarray(record["kpts_3d_gt"])
         vp.plot_scene_3dbox(ax, list(gts), color="k")
-    if "kpts_3d_before" in record:
+    if record.get("kpts_3d_before") is not None:
         before = np.asarray(record["kpts_3d_before"])
         vp.plot_scene_3dbox(ax, list(before), color="m")
-    if "kpts_3d_SMOKE" in record:
-        # magenta SMOKE boxes (legacy inference_legacy.py:802-809); the
-        # SMOKE layout is center-first, corners follow
-        smoke = [np.asarray(s).reshape(-1, 3) for s in
-                 record["kpts_3d_SMOKE"]]
+    if record.get("kpts_3d_SMOKE") is not None:
+        # magenta SMOKE boxes (legacy inference_legacy.py:802-809);
+        # plot_scene_3dbox handles the center-first 9-point layout itself
         vp.plot_scene_3dbox(
-            ax, [s[1:9] if len(s) >= 9 else s[:8] for s in smoke],
-            color="m")
+            ax, [np.asarray(s).reshape(-1, 3)
+                 for s in record["kpts_3d_SMOKE"]], color="m")
     if "pose_vecs_gt" in record:
         vp.draw_pose_vecs(ax, record["pose_vecs_gt"])
     ax.invert_yaxis()   # camera y points down

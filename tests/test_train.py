@@ -551,3 +551,30 @@ def test_denormalize_uses_config_stats():
     out = _denormalize(crops, mean=[0.5, 0.5, 0.5], std=[0.1, 0.1, 0.1])
     assert out.shape == (1, 2, 2, 3)
     assert (out == 128).all() or (out == 127).all()
+
+
+def test_norm_stats_null_dataset_section():
+    """A YAML with an empty `dataset:` section parses to None; norm_stats
+    must fall back to the ImageNet constants, not crash."""
+    from egonet_tpu.constants import norm_stats, IMAGENET_MEAN
+    mean, std = norm_stats({"dataset": None})
+    np.testing.assert_array_equal(mean, IMAGENET_MEAN)
+    mean, _ = norm_stats(None)
+    np.testing.assert_array_equal(mean, IMAGENET_MEAN)
+
+
+def test_evaluate_reuses_validation_loader(kitti_root):
+    """Mid-epoch evaluations reuse one loader (and its decode cache)
+    instead of re-decoding the validation set each time."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    cfg = small_train_cfg(kitti_root)
+    ds = kitti.KITTIDataset(cfg, "valid")
+    trainer = IGRTrainer(cfg)
+    state = trainer.init_state(0)
+    trainer.evaluate(state, ds.records)
+    first = trainer._eval_loader[1]
+    trainer.evaluate(state, ds.records)
+    assert trainer._eval_loader[1] is first
+    # different record list -> fresh loader
+    trainer.evaluate(state, list(ds.records))
+    assert trainer._eval_loader[1] is not first

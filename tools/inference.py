@@ -100,7 +100,8 @@ def inference(dataset, model, results, cfgs, logger):
         paths = [dataset.paths.image_path(n) for n in chunk]
         if cfgs.get("use_gt_box"):
             save_dir = make_output_dir(cfgs, "gt_box_test")
-            annot = {"path": [], "boxes": [], "K": [], "raw_txt_format": []}
+            annot = {"path": [], "boxes": [], "K": [], "raw_txt_format": [],
+                     "kpts": [], "kpts_3d_gt": [], "pose_vecs_gt": []}
             for p, n in zip(paths, chunk):
                 rec = dataset.annot_dict.get(n)
                 if not rec or "bbox_2d" not in rec:
@@ -109,6 +110,11 @@ def inference(dataset, model, results, cfgs, logger):
                 annot["boxes"].append(rec["bbox_2d"])
                 annot["K"].append(rec["K"])
                 annot["raw_txt_format"].append(rec["raw_txt_format"])
+                # GT cuboids/poses ride along for the visualization
+                # overlays (reference meta carries them, egonet.py:455-467)
+                annot["kpts"].append(rec.get("kpts"))
+                annot["kpts_3d_gt"].append(rec.get("kpts_3d_gt"))
+                annot["pose_vecs_gt"].append(rec.get("pose_vecs_gt"))
             if annot["path"]:
                 pending.append((model.dispatch_annot_dict(
                     annot, enlarge=1.1, alpha_mode=alpha_mode), save_dir))
