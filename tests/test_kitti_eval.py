@@ -461,3 +461,93 @@ def test_python_evaluator_cli(tmp_path, capsys):
     assert "car_detection AP: 100.000000 100.000000 100.000000" in out
     assert "car_orientation AP:" in out   # official label (r40.cpp:723)
     assert "car_detection.png" in out
+
+
+def test_cpp_matches_python_multiclass_dontcare(tmp_path):
+    """Harder randomized differential: all three evaluated classes plus
+    neighbor-class GTs (Van, Person_sitting), DontCare regions, rotated
+    BEV boxes, mixed occlusion/truncation/heights — the C++ binary and
+    the Python twin must produce identical precision/AOS curves."""
+    rng = np.random.RandomState(11)
+    class_proto = {
+        "Car": dict(h=1.5, w=1.6, l=3.9),
+        "Van": dict(h=2.1, w=1.9, l=5.0),
+        "Pedestrian": dict(h=1.8, w=0.6, l=0.9),
+        "Person_sitting": dict(h=1.3, w=0.6, l=0.9),
+        "Cyclist": dict(h=1.7, w=0.6, l=1.8),
+    }
+    frames = []
+    for f in range(10):
+        gts, dets = [], []
+        for slot in range(9):
+            cls = list(class_proto)[rng.randint(0, len(class_proto))]
+            x = 10.0 + 130.0 * slot
+            height = float(rng.uniform(22, 90))
+            g = obj(type=cls, x1=x, y1=110.0, x2=x + 90.0,
+                    y2=110.0 + height,
+                    occlusion=int(rng.randint(0, 3)),
+                    truncation=float(rng.uniform(0, 0.55)),
+                    t1=-50.0 + 12.0 * slot, t3=float(rng.uniform(8, 55)),
+                    ry=float(rng.uniform(-np.pi, np.pi)),
+                    alpha=float(rng.uniform(-np.pi, np.pi)),
+                    **class_proto[cls])
+            gts.append(g)
+            if rng.rand() < 0.85:          # detection (sometimes missed)
+                det_cls = cls if rng.rand() < 0.8 else "Car"
+                d = obj(**{**g.__dict__})
+                d.type = det_cls
+                d.x1 += rng.uniform(-12, 12)
+                d.x2 += rng.uniform(-12, 12)
+                d.y1 += rng.uniform(-6, 6)
+                d.y2 += rng.uniform(-6, 6)
+                d.t1 += rng.uniform(-0.5, 0.5)
+                d.t3 += rng.uniform(-0.5, 0.5)
+                d.ry += rng.uniform(-0.4, 0.4)
+                d.alpha += rng.uniform(-0.5, 0.5)
+                d.score = float(rng.uniform(0.2, 1.0))
+                dets.append(d)
+        # DontCare region + a spurious detection inside it
+        dc = ke.Obj(type="DontCare", truncation=-1, occlusion=-1, alpha=-10,
+                    x1=1250.0, y1=95.0, x2=1350.0, y2=165.0)
+        gts.append(dc)
+        if rng.rand() < 0.7:
+            sp = obj(x1=1255.0, y1=100.0, x2=1345.0, y2=160.0,
+                     t1=70.0, t3=30.0)
+            sp.score = float(rng.uniform(0.5, 1.0))
+            dets.append(sp)
+        frames.append((gts, dets))
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+
+    py = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    subprocess.run([CPP_BIN, gt_dir, res_dir], capture_output=True,
+                   text=True, check=True)
+    compared = 0
+    for cls in ("car", "pedestrian", "cyclist"):
+        if cls not in py:
+            continue
+        for metric, suffix in (("image", "detection"),
+                               ("ground", "detection_ground"),
+                               ("3d", "detection_3d")):
+            path = os.path.join(res_dir, f"stats_{cls}_{suffix}.txt")
+            if metric not in py[cls]:
+                assert not os.path.exists(path), (cls, metric)
+                continue
+            rows = [list(map(float, line.split()))
+                    for line in open(path).read().splitlines()
+                    if line.strip()]
+            for di, diff in enumerate(("easy", "moderate", "hard")):
+                np.testing.assert_allclose(
+                    rows[di], py[cls][metric][diff]["precision"],
+                    atol=1e-6, err_msg=f"{cls}/{metric}/{diff}")
+                compared += 1
+        path = os.path.join(res_dir, f"stats_{cls}_orientation.txt")
+        if os.path.exists(path) and py[cls]["image"]["easy"]["aos"]:
+            rows = [list(map(float, line.split()))
+                    for line in open(path).read().splitlines()
+                    if line.strip()]
+            for di, diff in enumerate(("easy", "moderate", "hard")):
+                np.testing.assert_allclose(
+                    rows[di], py[cls]["image"][diff]["aos"], atol=1e-6,
+                    err_msg=f"{cls}/aos/{diff}")
+                compared += 1
+    assert compared >= 12, "differential barely exercised"
