@@ -114,3 +114,21 @@ def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
                     _label_line(r, score=0.9 - 0.1 * j)
                     for j, r in enumerate(recs)) + "\n")
     return root, pred_dir
+
+
+def shrink_hrnet(cfg, num_blocks=1, num_modules=(1, 1, 1),
+                 input_size=64, heatmap_size=16):
+    """Scale an HRNet config down for fast tests (channels [8,16,32,64],
+    tiny input/heatmap).  One shared helper — the same stanza was
+    previously copy-pasted across six test files with accidental drift.
+    Modifies ``cfg`` in place and returns it."""
+    extra = cfg["heatmapModel"]["extra"]
+    chans = {"stage2": [8, 16], "stage3": [8, 16, 32],
+             "stage4": [8, 16, 32, 64]}
+    for i, s in enumerate(("stage2", "stage3", "stage4")):
+        extra[s].update({"num_channels": chans[s],
+                         "num_blocks": [num_blocks] * len(chans[s]),
+                         "num_modules": num_modules[i]})
+    cfg["heatmapModel"]["input_size"] = [input_size, input_size]
+    cfg["heatmapModel"]["heatmap_size"] = [heatmap_size, heatmap_size]
+    return cfg

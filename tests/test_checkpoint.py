@@ -49,7 +49,7 @@ def test_torch_interchange_roundtrip(tmp_path, lifter_variables):
     sd = torch.load(path, weights_only=True)
     assert all(isinstance(v, torch.Tensor) for v in sd.values())
     back = torch_convert.torch_to_flax(
-        {k: v for k, v in torch_convert.load_torch_state_dict(path).items()})
+        torch_convert.load_torch_state_dict(path))
     host = jax.tree_util.tree_map(np.asarray, dict(variables))
     problems = torch_convert.check_conversion(host, back)
     assert problems == []
@@ -94,14 +94,8 @@ def test_training_resume_from_snapshot(tmp_path, rng):
                         "configs")
     cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
     cfg["dataset"]["root"] = root
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [1, 1, 1], "num_modules": 1})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
-    cfg["heatmapModel"].update({"input_size": [64, 64],
-                                "heatmap_size": [16, 16], "pretrained": ""})
+    fixtures.shrink_hrnet(cfg)
+    cfg["heatmapModel"]["pretrained"] = ""
     cfg["training_settings"].update({"batch_size": 1, "total_epochs": 1})
 
     ds = kitti.KITTIDataset(cfg, "train")

@@ -57,14 +57,11 @@ def test_lifter_learns_orientation_end_to_end(setup):
 
     # ground-truth yaw for the valid split (same generation path, no aug)
     paths = kitti.KITTIPaths(root, "valid")
-    gt_ry, gt_alpha, raws = [], [], []
+    gt_ry = []
     for name in paths.image_names():
         pairs = kitti.get_2d_3d_pairs(paths.label_path(name),
                                       paths.calib_path(name))
-        for rot, raw in zip(pairs["rotations"], pairs["raw"]):
-            gt_alpha.append(rot[0, 0])
-            gt_ry.append(rot[0, 1])
-            raws.append(raw)
+        gt_ry.extend(rot[0, 1] for rot in pairs["rotations"])
     gt_ry = np.array(gt_ry)
     assert len(gt_ry) == len(ry_pred)
 

@@ -366,15 +366,7 @@ def test_stream_annot_dicts_raises_on_bad_image(tmp_path):
     from egonet_tpu.models.egonet import EgoNet
     from egonet_tpu.config import default_demo_config
     import copy
-    cfg = default_demo_config()
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [1, 1, 1], "num_modules": 1})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
-    cfg["heatmapModel"].update({"input_size": [64, 64],
-                                "heatmap_size": [16, 16]})
+    cfg = fixtures.shrink_hrnet(default_demo_config())
     model = EgoNet(cfg, pre_trained=False)
     bad = tmp_path / "corrupt.png"
     bad.write_bytes(b"not a png")

@@ -12,18 +12,9 @@ from tests import fixtures
 
 
 def small_cfg(root):
-    import copy
     cfg = default_demo_config()
     cfg["dataset"]["root"] = root
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [1, 1, 1], "num_modules": 1})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
-    cfg["heatmapModel"]["input_size"] = [64, 64]
-    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
-    return cfg
+    return fixtures.shrink_hrnet(cfg)
 
 
 @pytest.fixture(scope="module")

@@ -127,7 +127,7 @@ def test_perfect_detections_ap100(tmp_path):
     assert car["image"]["easy"]["aos_r40"] == pytest.approx(100.0)
 
 
-def test_wrong_orientation_halves_aos(tmp_path):
+def test_opposite_orientation_zeroes_aos(tmp_path):
     frames = []
     for f in range(6):
         gts, dets = _spread_gt(7, seed=10 + f)
@@ -463,6 +463,8 @@ def test_python_evaluator_cli(tmp_path, capsys):
     assert "car_detection.png" in out
 
 
+@pytest.mark.skipif(not os.path.exists(CPP_BIN),
+                    reason="C++ evaluator not built")
 def test_cpp_matches_python_multiclass_dontcare(tmp_path):
     """Harder randomized differential: all three evaluated classes plus
     neighbor-class GTs (Van, Person_sitting), DontCare regions, rotated
@@ -541,7 +543,10 @@ def test_cpp_matches_python_multiclass_dontcare(tmp_path):
                     atol=1e-6, err_msg=f"{cls}/{metric}/{diff}")
                 compared += 1
         path = os.path.join(res_dir, f"stats_{cls}_orientation.txt")
-        if os.path.exists(path) and py[cls]["image"]["easy"]["aos"]:
+        # both sides must AGREE on whether AOS exists for this class
+        py_has_aos = bool(py[cls]["image"]["easy"]["aos"])
+        assert os.path.exists(path) == py_has_aos, (cls, py_has_aos)
+        if py_has_aos:
             rows = [list(map(float, line.split()))
                     for line in open(path).read().splitlines()
                     if line.strip()]

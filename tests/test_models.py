@@ -20,17 +20,9 @@ def demo_cfg():
 def hrnet_small_cfg(demo_cfg):
     """A scaled-down HRNet (same topology, tiny channels) for fast tests."""
     import copy
-    cfg = copy.deepcopy(demo_cfg)
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1],
-                            "num_modules": 1})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [1, 1, 1], "num_modules": 2})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
-    cfg["heatmapModel"]["input_size"] = [64, 64]
-    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
-    return cfg
+    from tests import fixtures
+    return fixtures.shrink_hrnet(copy.deepcopy(demo_cfg),
+                                 num_modules=(1, 2, 1))
 
 
 def test_hrnet_coordinates_forward(hrnet_small_cfg):

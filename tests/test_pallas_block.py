@@ -85,10 +85,16 @@ def test_stencil_flag_gating(monkeypatch):
     assert s.stencil_enabled("1") is True
     monkeypatch.setenv("EGONET_PALLAS_STENCIL", "0")
     assert s.stencil_enabled() is False
-    # auto consults the (cached) probe and returns a bool either way
-    s._PROBE_CACHE[(32, 48, 64)] = False
+    # auto consults the (cached) probe and returns a bool either way;
+    # derive the cache key from the probe's own defaults so this test
+    # keeps testing cache consultation if the defaults change
+    import inspect
+    key = tuple(p.default
+                for p in inspect.signature(s.probe_wide_tile)
+                .parameters.values())
+    s._PROBE_CACHE[key] = False
     assert s.stencil_enabled("auto") is False
-    s._PROBE_CACHE[(32, 48, 64)] = True
+    s._PROBE_CACHE[key] = True
     assert s.stencil_enabled("auto") is True
     s._PROBE_CACHE.clear()
 

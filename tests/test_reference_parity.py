@@ -357,16 +357,9 @@ def test_composite_loss_parity(rng):
 def _small_hm_cfg():
     from egonet_tpu.config import default_demo_config
     import copy
-    cfg = default_demo_config()
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [2, 2],
-                            "num_modules": 1})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [2, 2, 2], "num_modules": 2})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [2, 2, 2, 2], "num_modules": 2})
-    cfg["heatmapModel"]["input_size"] = [64, 64]
-    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
+    from tests import fixtures
+    cfg = fixtures.shrink_hrnet(default_demo_config(), num_blocks=2,
+                                num_modules=(1, 2, 2))
     cfg["heatmapModel"]["init_weights"] = False
     return cfg
 

@@ -20,14 +20,7 @@ def small_train_cfg(root):
                         "configs")
     cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
     cfg["dataset"]["root"] = root
-    extra = cfg["heatmapModel"]["extra"]
-    extra["stage2"].update({"num_channels": [8, 16], "num_blocks": [1, 1]})
-    extra["stage3"].update({"num_channels": [8, 16, 32],
-                            "num_blocks": [1, 1, 1], "num_modules": 1})
-    extra["stage4"].update({"num_channels": [8, 16, 32, 64],
-                            "num_blocks": [1, 1, 1, 1], "num_modules": 1})
-    cfg["heatmapModel"]["input_size"] = [64, 64]
-    cfg["heatmapModel"]["heatmap_size"] = [16, 16]
+    fixtures.shrink_hrnet(cfg)
     cfg["heatmapModel"]["pretrained"] = ""
     cfg["training_settings"]["batch_size"] = 1
     cfg["training_settings"]["total_epochs"] = 1
