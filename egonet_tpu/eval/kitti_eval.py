@@ -133,6 +133,12 @@ def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     # ensure the clip polygon is counter-clockwise
     cx, cz = clip[:, 0], clip[:, 1]
     signed = 0.5 * (np.dot(cx, np.roll(cz, -1)) - np.dot(cz, np.roll(cx, -1)))
+    if signed == 0:
+        # a fully degenerate clip polygon (zero l and/or w collapses it to
+        # a line/point) has no interior: every edge test would trivially
+        # pass and the whole subject would count as intersection — Boost
+        # (the reference's geometry backend) returns an empty intersection
+        return np.zeros((0, 2))
     if signed < 0:
         clip = clip[::-1]
     output = [tuple(p) for p in subject]
@@ -423,7 +429,11 @@ def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
                 f"server mode requires all {n_testimages} submission files; "
                 f"missing {missing[0]} (+{len(missing) - 1} more)")
     else:
-        names = sorted(f for f in os.listdir(data_dir) if f.endswith(".txt"))
+        # only KITTI frame files ("######.txt"): a stray notes.txt must not
+        # abort the evaluation looking for its ground truth
+        names = sorted(f for f in os.listdir(data_dir)
+                       if len(f) == 10 and f.endswith(".txt")
+                       and f[:6].isdigit())
     overlap_table = MIN_OVERLAP_SERVER if server else MIN_OVERLAP
     gt_frames, det_frames = [], []
     compute_aos = True

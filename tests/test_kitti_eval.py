@@ -556,3 +556,45 @@ def test_cpp_matches_python_multiclass_dontcare(tmp_path):
                     err_msg=f"{cls}/aos/{diff}")
                 compared += 1
     assert compared >= 12, "differential barely exercised"
+
+
+def test_degenerate_bev_box_has_no_interior():
+    """A zero-dimension BEV box (l=w=0, e.g. a DontCare row with no 3D
+    extent) collapses to a point: its intersection with anything is empty.
+    A naive Sutherland-Hodgman clip treats every half-plane test as
+    trivially true and returns the WHOLE subject area (previously
+    absorbing detections into the stuff area); Boost — the reference's
+    geometry backend — returns 0."""
+    a = obj(l=4.0, w=2.0, t1=0.0, t3=0.0, ry=0.0)
+    z = obj(l=0.0, w=0.0, t1=0.0, t3=0.0, ry=0.3)
+    assert ke.bev_intersection_area(a, z) == 0.0
+    assert ke.ground_box_overlap(a, z, 0) == 0.0
+    assert ke.box3d_overlap(a, z, 0) == 0.0
+
+
+def test_stray_txt_in_data_dir_ignored(tmp_path):
+    """A non-frame txt (notes.txt) in result_dir/data must not abort the
+    evaluation hunting for its ground truth."""
+    frames = [_spread_gt(7, seed=f) for f in range(6)]
+    gt_dir, res_dir = make_dirs(tmp_path, frames)
+    with open(os.path.join(res_dir, "data", "notes.txt"), "w") as f:
+        f.write("scratch file, not a detection frame\n")
+    results = ke.evaluate(gt_dir, res_dir, write_stats=False)
+    assert results["car"]["image"]["easy"]["ap_r40"] == pytest.approx(100.0)
+    if os.path.exists(CPP_BIN):
+        out = subprocess.run([CPP_BIN, gt_dir, res_dir],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        assert "number of files for evaluation: 6" in out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(CPP_BIN),
+                    reason="C++ evaluator not built")
+def test_cpp_server_count_overflow_rejected(tmp_path):
+    """--server=N beyond int range must error out, not truncate to a tiny
+    (or zero) count and silently evaluate nothing."""
+    for bad in ("4294967296", "999999999999999999999", "10000001"):
+        out = subprocess.run([CPP_BIN, f"--server={bad}", str(tmp_path),
+                              str(tmp_path)], capture_output=True, text=True)
+        assert out.returncode != 0, bad
+        assert "invalid" in out.stderr

@@ -21,6 +21,8 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cerrno>
+#include <cstdlib>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -163,7 +165,12 @@ double signed_area2(const Pt p[4]) {
 
 // Sutherland-Hodgman: clip convex quad `subject` by convex quad `clip`.
 double quad_intersection_area(const Pt subject[4], Pt clip[4]) {
-  if (signed_area2(clip) < 0) std::swap(clip[0], clip[3]), std::swap(clip[1], clip[2]);
+  double a2 = signed_area2(clip);
+  // a fully degenerate clip quad (zero l and/or w collapses it to a line
+  // or point) has no interior: every edge test would trivially pass and
+  // the whole subject would be "inside"; the true intersection is empty
+  if (a2 == 0) return 0.0;
+  if (a2 < 0) std::swap(clip[0], clip[3]), std::swap(clip[1], clip[2]);
   std::vector<Pt> output(subject, subject + 4);
   for (int i = 0; i < 4 && !output.empty(); ++i) {
     const Pt a = clip[i];
@@ -283,9 +290,14 @@ struct Stat {
   std::vector<double> scores;
 };
 
+// ``ovl`` (optional): precomputed det-major overlap matrix
+// ovl[j * |gt| + i] = overlap(metric, det[j], gt[i], -1).  The matrix
+// depends only on (metric, frame), but this function runs once per
+// recall threshold per difficulty (up to 126x per frame) — recomputing
+// the BEV clipper there dominated full-split runtime.
 Stat compute_statistics(int cls, const Frame &f, const Cleaned &c,
                         bool compute_fp, Metric metric, bool compute_aos,
-                        double thresh) {
+                        double thresh, const double *ovl = nullptr) {
   Stat st;
   const double min_ov = MIN_OVERLAP[metric][cls];
   std::vector<bool> assigned(f.det.size(), false);
@@ -303,7 +315,8 @@ Stat compute_statistics(int cls, const Frame &f, const Cleaned &c,
     bool assigned_ignored_det = false;
     for (size_t j = 0; j < f.det.size(); ++j) {
       if (c.ignored_det[j] == -1 || assigned[j] || below[j]) continue;
-      double ov = overlap(metric, f.det[j], f.gt[i], -1);
+      double ov = ovl ? ovl[j * f.gt.size() + i]
+                      : overlap(metric, f.det[j], f.gt[i], -1);
       if (!compute_fp && ov > min_ov && f.det[j].score > valid_detection) {
         det_idx = static_cast<int>(j);
         valid_detection = f.det[j].score;
@@ -380,7 +393,8 @@ std::vector<double> get_thresholds(std::vector<double> scores, int n_gt) {
 
 void eval_class(const std::vector<Frame> &frames, int cls, int difficulty,
                 Metric metric, bool compute_aos,
-                std::vector<double> *precision, std::vector<double> *aos) {
+                std::vector<double> *precision, std::vector<double> *aos,
+                const std::vector<std::vector<double>> &ovl) {
   int n_gt = 0;
   std::vector<double> scores;
   std::vector<Cleaned> cleaned;
@@ -389,7 +403,7 @@ void eval_class(const std::vector<Frame> &frames, int cls, int difficulty,
     cleaned.push_back(clean_data(cls, f, difficulty));
     n_gt += cleaned.back().n_gt;
     Stat st = compute_statistics(cls, f, cleaned.back(), false, metric,
-                                 false, 0);
+                                 false, 0, ovl[&f - frames.data()].data());
     scores.insert(scores.end(), st.scores.begin(), st.scores.end());
   }
   std::vector<double> thresholds = get_thresholds(scores, n_gt);
@@ -397,7 +411,8 @@ void eval_class(const std::vector<Frame> &frames, int cls, int difficulty,
   for (size_t i = 0; i < frames.size(); ++i) {
     for (size_t t = 0; t < thresholds.size(); ++t) {
       Stat st = compute_statistics(cls, frames[i], cleaned[i], true, metric,
-                                   compute_aos, thresholds[t]);
+                                   compute_aos, thresholds[t],
+                                   ovl[i].data());
       agg[t].tp += st.tp;
       agg[t].fp += st.fp;
       agg[t].fn += st.fn;
@@ -458,9 +473,15 @@ int main(int argc, char **argv) {
       if (a.size() > 8) {
         // anything after "--server" must be "=<positive integer>"
         char *end = nullptr;
-        long n = a[8] == '=' ? strtol(a.c_str() + 9, &end, 10) : 0;
-        if (a[8] != '=' || end == a.c_str() + 9 || *end != '\0' || n <= 0) {
-          fprintf(stderr, "invalid %s: expected --server=<positive N>\n",
+        errno = 0;
+        long long n = a[8] == '=' ? strtoll(a.c_str() + 9, &end, 10) : 0;
+        // bound the count BEFORE the narrowing cast: a value past INT_MAX
+        // (or an ERANGE saturation) would otherwise truncate — possibly
+        // to 0 or negative — and silently evaluate nothing
+        if (a[8] != '=' || end == a.c_str() + 9 || *end != '\0' ||
+            errno == ERANGE || n <= 0 || n > 10000000) {
+          fprintf(stderr,
+                  "invalid %s: expected --server=<N in 1..10000000>\n",
                   a.c_str());
           return 1;
         }
@@ -500,7 +521,12 @@ int main(int argc, char **argv) {
   } else if (DIR *dir = opendir(data_dir.c_str())) {
     while (dirent *e = readdir(dir)) {
       std::string n(e->d_name);
-      if (n.size() > 4 && n.substr(n.size() - 4) == ".txt")
+      // only KITTI frame files ("######.txt"): a stray notes.txt in
+      // data/ must not abort the evaluation looking for its ground truth
+      // (the reference's getEvalIndices parses the 6-digit prefix)
+      if (n.size() == 10 && n.substr(6) == ".txt" &&
+          std::all_of(n.begin(), n.begin() + 6,
+                      [](unsigned char ch) { return std::isdigit(ch); }))
         names.push_back(n);
     }
     closedir(dir);
@@ -548,18 +574,33 @@ int main(int argc, char **argv) {
                    {BOX3D, "detection_3d", eval_3d_cls}};
 
   for (const Task &task : tasks) {
+    bool any = task.flags[0] || task.flags[1] || task.flags[2];
+    if (!any) continue;
+    // per-frame det x gt overlap matrix, computed ONCE per metric and
+    // reused across every class/difficulty/threshold pass
+    std::vector<std::vector<double>> ovl(frames.size());
+    for (size_t i = 0; i < frames.size(); ++i) {
+      const Frame &f = frames[i];
+      ovl[i].resize(f.det.size() * f.gt.size());
+      for (size_t j = 0; j < f.det.size(); ++j)
+        for (size_t g = 0; g < f.gt.size(); ++g)
+          ovl[i][j * f.gt.size() + g] =
+              overlap(task.metric, f.det[j], f.gt[g], -1);
+    }
     for (int c = 0; c < N_CLASS; ++c) {
       if (!task.flags[c]) continue;
       bool with_aos = compute_aos && task.metric == IMAGE;
       std::vector<double> precision[3], aos[3];
       for (int d = 0; d < 3; ++d)
         eval_class(frames, c, d, task.metric, with_aos, &precision[d],
-                   &aos[d]);
+                   &aos[d], ovl);
       std::string stats = result_dir + "/stats_" + CLASS_NAMES[c] + "_" +
                           task.suffix + ".txt";
       if (FILE *fp = fopen(stats.c_str(), "w")) {
         for (int d = 0; d < 3; ++d) save_rows(fp, precision[d]);
         fclose(fp);
+      } else {
+        fprintf(stderr, "WARNING: cannot write %s\n", stats.c_str());
       }
       std::string label = std::string(CLASS_NAMES[c]) + "_" + task.suffix;
       report(label.c_str(), precision);
@@ -569,6 +610,8 @@ int main(int argc, char **argv) {
         if (FILE *fp = fopen(ostats.c_str(), "w")) {
           for (int d = 0; d < 3; ++d) save_rows(fp, aos[d]);
           fclose(fp);
+        } else {
+          fprintf(stderr, "WARNING: cannot write %s\n", ostats.c_str());
         }
         std::string olabel = std::string(CLASS_NAMES[c]) + "_orientation";
         report(olabel.c_str(), aos);
