@@ -259,8 +259,14 @@ def clean_data(cls_idx: int, gts: list, dets: list, difficulty: int):
 
 def compute_statistics(cls_idx, gts, dets, dontcare, ignored_gt, ignored_det,
                        compute_fp, metric, compute_aos=False, thresh=0.0,
-                       overlap_table=MIN_OVERLAP):
-    """Greedy matching for one frame at one score threshold."""
+                       overlap_table=MIN_OVERLAP, ovl=None):
+    """Greedy matching for one frame at one score threshold.
+
+    ``ovl`` (optional): precomputed overlap matrix ovl[j][i] =
+    overlap_fn(dets[j], gts[i], -1).  It depends only on (metric, frame)
+    but this function runs once per recall threshold per difficulty —
+    recomputing the BEV clipper there dominates full-split runtime.
+    """
     min_overlap = overlap_table[metric][cls_idx]
     overlap_fn = OVERLAP_FN[metric]
     NO_DETECTION = -10000000.0
@@ -280,7 +286,7 @@ def compute_statistics(cls_idx, gts, dets, dontcare, ignored_gt, ignored_det,
         for j, d in enumerate(dets):
             if ignored_det[j] == -1 or assigned[j] or ignored_threshold[j]:
                 continue
-            overlap = overlap_fn(d, g, -1)
+            overlap = ovl[j][i] if ovl is not None else overlap_fn(d, g, -1)
             if (not compute_fp and overlap > min_overlap
                     and d.score > valid_detection):
                 det_idx = j
@@ -350,31 +356,41 @@ def get_thresholds(scores: list, n_gt: int) -> list:
 
 
 def eval_class(gt_frames, det_frames, cls_idx, difficulty, metric,
-               compute_aos=False, overlap_table=MIN_OVERLAP):
-    """Returns (precision[41], aos[41] or None)."""
+               compute_aos=False, overlap_table=MIN_OVERLAP, ovl=None):
+    """Returns (precision[41], aos[41] or None).
+
+    ``ovl``: optional per-frame overlap matrices (see compute_statistics);
+    computed here when not supplied so the clipper runs once per frame
+    instead of once per threshold."""
+    if ovl is None:
+        fn = OVERLAP_FN[metric]
+        ovl = [[[fn(d, g, -1) for g in gts] for d in dets]
+               for gts, dets in zip(gt_frames, det_frames)]
     n_gt = 0
     all_scores = []
     cleaned = []
-    for gts, dets in zip(gt_frames, det_frames):
+    for f_idx, (gts, dets) in enumerate(zip(gt_frames, det_frames)):
         ignored_gt, dc, ignored_det, frame_n_gt = clean_data(
             cls_idx, gts, dets, difficulty)
         n_gt += frame_n_gt
         cleaned.append((ignored_gt, dc, ignored_det))
         stat = compute_statistics(cls_idx, gts, dets, dc, ignored_gt,
                                   ignored_det, False, metric,
-                                  overlap_table=overlap_table)
+                                  overlap_table=overlap_table,
+                                  ovl=ovl[f_idx])
         all_scores += stat["scores"]
 
     thresholds = get_thresholds(all_scores, n_gt)
     agg = [{"tp": 0, "fp": 0, "fn": 0, "similarity": 0.0}
            for _ in thresholds]
-    for (gts, dets), (ignored_gt, dc, ignored_det) in zip(
-            zip(gt_frames, det_frames), cleaned):
+    for f_idx, ((gts, dets), (ignored_gt, dc, ignored_det)) in enumerate(
+            zip(zip(gt_frames, det_frames), cleaned)):
         for t, thr in enumerate(thresholds):
             stat = compute_statistics(cls_idx, gts, dets, dc, ignored_gt,
                                       ignored_det, True, metric,
                                       compute_aos, thr,
-                                      overlap_table=overlap_table)
+                                      overlap_table=overlap_table,
+                                      ovl=ovl[f_idx])
             agg[t]["tp"] += stat["tp"]
             agg[t]["fp"] += stat["fp"]
             agg[t]["fn"] += stat["fn"]
@@ -459,6 +475,18 @@ def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
 
     metric_ids = {"image": METRIC_IMAGE, "ground": METRIC_GROUND,
                   "3d": METRIC_3D}
+    # per-metric overlap matrices, shared across classes/difficulties/
+    # thresholds (the matrix depends only on the metric and the frames)
+    ovl_cache: dict = {}
+
+    def metric_ovl(metric):
+        if metric not in ovl_cache:
+            fn = OVERLAP_FN[metric]
+            ovl_cache[metric] = [
+                [[fn(d, g, -1) for g in gts] for d in dets]
+                for gts, dets in zip(gt_frames, det_frames)]
+        return ovl_cache[metric]
+
     results: dict = {}
     for cls_idx in sorted(present):
         cls = CLASS_NAMES[cls_idx]
@@ -474,7 +502,8 @@ def evaluate(gt_dir: str, result_dir: str, metrics=("image", "ground", "3d"),
             for diff_idx, diff in enumerate(DIFFICULTIES):
                 precision, aos = eval_class(gt_frames, det_frames, cls_idx,
                                             diff_idx, metric, aos_ok,
-                                            overlap_table=overlap_table)
+                                            overlap_table=overlap_table,
+                                            ovl=metric_ovl(metric))
                 entry = {
                     "precision": precision,
                     "aos": aos,
