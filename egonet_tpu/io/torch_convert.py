@@ -106,6 +106,9 @@ def flax_to_torch(variables: dict) -> dict:
         if is_bn:
             state[f"{prefix}.running_mean"] = np.asarray(batch_stats[prefix]["mean"])
             state[f"{prefix}.running_var"] = np.asarray(batch_stats[prefix]["var"])
+            # torch BatchNorm state_dicts carry this counter; the reference
+            # loads with strict=True (egonet.py:63-66) so it must exist
+            state[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
     return state
 
 

@@ -63,8 +63,14 @@ def _label_line(rec, score=None):
 
 
 def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
-                    classes_per_image=None, seed=0):
+                    classes_per_image=None, seed=0, smooth=False):
     """Create a KITTI-layout directory with n_images synthetic frames.
+
+    ``smooth`` renders low-frequency images (upsampled coarse noise) instead
+    of per-pixel noise: cv2.warpAffine quantizes interpolation weights to
+    5 bits, so bit-level crop agreement with the exact TPU warp is only
+    achievable when neighboring pixels are close in value — required by the
+    whole-pipeline differential test.
 
     Returns (root, prediction_dir or None).
     """
@@ -81,7 +87,13 @@ def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
     rng = np.random.RandomState(seed)
     names = [f"{i:06d}" for i in range(n_images)]
     for i, name in enumerate(names):
-        img = rng.randint(0, 255, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
+        if smooth:
+            low = rng.randint(0, 255, size=(IMG_H // 48 + 1, IMG_W // 48 + 1,
+                                            3), dtype=np.uint8)
+            img = cv2.resize(low, (IMG_W, IMG_H),
+                             interpolation=cv2.INTER_CUBIC)
+        else:
+            img = rng.randint(0, 255, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
         cv2.imwrite(os.path.join(img_dir, name + ".png"), img)
         recs = classes_per_image[i] if classes_per_image else CARS
         with open(os.path.join(lbl_dir, name + ".txt"), "w") as f:

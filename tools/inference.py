@@ -116,8 +116,12 @@ def inference(dataset, model, results, cfgs, logger):
                 annot["kpts_3d_gt"].append(rec.get("kpts_3d_gt"))
                 annot["pose_vecs_gt"].append(rec.get("pose_vecs_gt"))
             if annot["path"]:
+                # the reference GT path never passes alpha_mode, so it runs
+                # post_process's default 'trans' (ref inference.py:154-164,
+                # egonet.py:394); only the submission path uses the
+                # configured testing_settings.alpha_mode
                 pending.append((model.dispatch_annot_dict(
-                    annot, enlarge=1.1, alpha_mode=alpha_mode), save_dir))
+                    annot, enlarge=1.1, alpha_mode="trans"), save_dir))
                 flush(1)
         if cfgs.get("use_pred_box") and "pred" in results:
             annot = gather_dict({"path": paths}, results["pred"],
