@@ -51,6 +51,46 @@ def _round_up_bucket(n: int, minimum: int = 8) -> int:
     return ((n + 127) // 128) * 128
 
 
+# Per-instance inputs ride in ONE fused [N, META_COLS] f32 array (each
+# separate device_put pays a full link round trip).  Column layout:
+#   0:6   inv_mats, row-major 2x3 (the ORIGINAL source-frame affine)
+#   6:8   ROI-packing offsets (x, y); zero in canvas mode
+#   8     img_idx (canvas mode) / window start row win_y (packed mode)
+#   9     validity mask
+#   10    K focal length f
+#   11    K principal point x
+#   12:14 source image (width, height) — add_xy coordinate maps
+#   14:18 packed-mode valid-read bounds (x0, x1, y0, y1) — exact-zero
+#         weights for out-of-image reads (ops/packing.py clipped slots)
+META_COLS = 18
+
+
+def pack_meta(inv_mats, idx, valid, K_f, K_cx, img_wh=None, offsets=None):
+    """Build a fused [N, META_COLS] meta array (bench/profiling helpers —
+    the inference dispatch builds its padded variant inline)."""
+    n = len(inv_mats)
+    meta = np.zeros((n, META_COLS), np.float32)
+    meta[:, 0:6] = np.asarray(inv_mats, np.float32).reshape(n, 6)
+    if offsets is not None:
+        meta[:, 6:8] = offsets
+    meta[:, 8] = idx
+    meta[:, 9] = valid
+    meta[:, 10] = K_f
+    meta[:, 11] = K_cx
+    meta[:, 12:14] = img_wh if img_wh is not None else 1.0
+    return meta
+
+
+def _unpack_meta(meta):
+    """meta [N, META_COLS] -> (inv_mats, offsets, idx, valid, K_f, K_cx,
+    img_wh, bounds); see the column table above."""
+    inv_mats = meta[:, 0:6].reshape(-1, 2, 3)
+    offsets = meta[:, 6:8]
+    idx = meta[:, 8].astype(jnp.int32)
+    return (inv_mats, offsets, idx, meta[:, 9], meta[:, 10], meta[:, 11],
+            meta[:, 12:14], meta[:, 14:18])
+
+
 class EgoNet:
     """End-to-end monocular pose estimator (inference-oriented facade)."""
 
@@ -66,6 +106,10 @@ class EgoNet:
         hm = cfgs["heatmapModel"]
         self.resolution = tuple(hm["input_size"])           # (width, height)
         self.add_xy = bool(hm.get("add_xy", False))
+        self.pack_mode = cfgs.get("roi_packing", "auto")
+        if self.pack_mode not in ("auto", "never", "always"):
+            raise ValueError(f"roi_packing must be auto/never/always, "
+                             f"got {self.pack_mode!r}")
         self.hrnet = build_hrnet(cfgs, dtype=dtype)
         self.lifter = build_fc_model(cfgs, dtype=dtype)
 
@@ -91,6 +135,10 @@ class EgoNet:
             self.load_checkpoints(cfgs["dirs"]["ckpt"])
         self.to_device()
         self._jitted = {}
+        # observability: how many batches used which transport, and the
+        # image bytes each moved host->device (read by bench.py)
+        self.transport_stats = {"packed_batches": 0, "canvas_batches": 0,
+                                "packed_bytes": 0, "canvas_bytes": 0}
 
     def to_device(self, device=None):
         """Commit parameters + stats to the accelerator(s) ONCE.  Without
@@ -159,25 +207,48 @@ class EgoNet:
     # the jitted core
     # ------------------------------------------------------------------
 
-    def _core(self, hrnet_vars, lifter_vars, ls, images, inv_mats, img_idx,
-              valid, K_f, K_cx, img_wh=None, *, alpha_mode: str):
+    def _core(self, hrnet_vars, lifter_vars, ls, images, meta, *,
+              alpha_mode: str):
         """One fused program: crops -> screen kpts -> cuboids -> angles.
 
-        images: [B, Hc, Wc, 3] uint8;  inv_mats: [N, 2, 3] float32;
-        img_idx: [N] int32; valid: [N] float32; K_f/K_cx: [N] per-instance
-        focal length and principal point x.  img_wh: [N, 2] per-instance
-        source (width, height), required only for ``add_xy`` models
-        (the reference concatenates xy maps at egonet.py:91-93).
+        images: [B, Hc, Wc, 3] uint8; meta: [N, META_COLS] f32, all
+        per-instance scalars fused into ONE array (see ``META_COLS``) — on
+        a latency-bound accelerator link every separate input array pays a
+        full round trip, which round 2's six small transfers made a
+        measurable share of end-to-end batch time.
         """
         width, height = self.resolution
-        mean = jnp.asarray(self.norm_mean)
-        std = jnp.asarray(self.norm_std)
-
+        inv_mats, _offs, img_idx, valid, K_f, K_cx, img_wh, _bnd = \
+            _unpack_meta(meta)
         # crops are rotation-free -> separable warp runs on the MXU; bf16
         # runs keep the warp intermediates bf16 (halves their HBM traffic)
         patches = affine.warp_affine_separable(images, inv_mats, img_idx,
                                                (height, width),
                                                dtype=self.dtype)
+        return self._tail(hrnet_vars, lifter_vars, ls, patches, inv_mats,
+                          valid, K_f, K_cx, img_wh, alpha_mode)
+
+    def _core_packed(self, hrnet_vars, lifter_vars, ls, canvas, meta, *,
+                     alpha_mode: str, window_h: int):
+        """The fused program over a ROI-packed canvas (ops/packing.py):
+        same computation as :meth:`_core`, but the warp samples per-instance
+        packed footprints through integer offsets — bit-identical weights
+        with a fraction of the host->device bytes."""
+        width, height = self.resolution
+        inv_mats, offsets, win_y, valid, K_f, K_cx, img_wh, bounds = \
+            _unpack_meta(meta)
+        patches = affine.warp_affine_separable_windowed(
+            canvas, inv_mats, offsets, win_y, (height, width),
+            window_h=window_h, dtype=self.dtype, bounds=bounds)
+        return self._tail(hrnet_vars, lifter_vars, ls, patches, inv_mats,
+                          valid, K_f, K_cx, img_wh, alpha_mode)
+
+    def _tail(self, hrnet_vars, lifter_vars, ls, patches, inv_mats, valid,
+              K_f, K_cx, img_wh, alpha_mode: str):
+        """Post-warp body shared by the canvas and packed front halves."""
+        width, height = self.resolution
+        mean = jnp.asarray(self.norm_mean)
+        std = jnp.asarray(self.norm_std)
         # match the reference's uint8 warp output before ToTensor()
         crops = (jnp.round(patches.astype(jnp.float32))
                  / 255.0 - mean) / std                      # [N, H, W, 3]
@@ -207,20 +278,30 @@ class EgoNet:
         else:
             alphas = rigid.observation_angle_proj(
                 ry, screen[:, 0, 0], K_f, K_cx)
-        return {
-            "kpts_2d": screen,
-            "kpts_3d": kpts_3d,
-            "euler_angles": angles,
-            "translation": translations,
-            "alphas": alphas,
-            "valid": valid,
-        }
+        # ONE flat [N, D] output (D = 2K + output_size + 8): a dict of six
+        # device arrays costs six separate device->host fetches in
+        # finalize — each a full round trip on a tunneled link
+        return jnp.concatenate([
+            screen.reshape(n, -1).astype(jnp.float32),
+            pred.astype(jnp.float32),
+            angles.astype(jnp.float32),
+            translations.astype(jnp.float32),
+            alphas.astype(jnp.float32)[:, None],
+            valid.astype(jnp.float32)[:, None],
+        ], axis=1)
 
-    def _get_jitted(self, alpha_mode: str):
-        if alpha_mode not in self._jitted:
-            fn = functools.partial(self._core, alpha_mode=alpha_mode)
-            self._jitted[alpha_mode] = jax.jit(fn)
-        return self._jitted[alpha_mode]
+    def _get_jitted(self, alpha_mode: str, packed: bool = False):
+        key = (alpha_mode, packed)
+        if key not in self._jitted:
+            if packed:
+                fn = functools.partial(self._core_packed,
+                                       alpha_mode=alpha_mode)
+                self._jitted[key] = jax.jit(fn,
+                                            static_argnames=("window_h",))
+            else:
+                fn = functools.partial(self._core, alpha_mode=alpha_mode)
+                self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     # ------------------------------------------------------------------
     # host-side batch assembly
@@ -262,7 +343,6 @@ class EgoNet:
         paths = annot_dict["path"]
         n_img = len(paths)
 
-        images = np.zeros((n_img, canvas_hw[0], canvas_hw[1], 3), np.uint8)
         inv_mats, img_idx, centers, scales, rbs = [], [], [], [], []
         per_image_counts, whs = [], []
         if "images" in annot_dict:
@@ -277,10 +357,6 @@ class EgoNet:
         for i, path in enumerate(paths):
             img = decoded[i]
             h, w = img.shape[:2]
-            if h > canvas_hw[0] or w > canvas_hw[1]:
-                raise ValueError(
-                    f"image {path} ({h}x{w}) exceeds canvas {canvas_hw}")
-            images[i, :h, :w] = img
             boxes = np.asarray(annot_dict["boxes"][i], dtype=np.float64)
             per_image_counts.append(len(boxes))
             if len(boxes) == 0:
@@ -297,11 +373,50 @@ class EgoNet:
         n_total = int(sum(per_image_counts))
         if n_total == 0:
             return None
-        inv_mats = np.concatenate(inv_mats).astype(np.float32)
+        inv_f64 = np.concatenate(inv_mats)               # float64, original
+        inv_mats = inv_f64.astype(np.float32)
         centers = np.concatenate(centers)
         scales = np.concatenate(scales)
         rbs = np.concatenate(rbs)
         img_idx = np.asarray(img_idx, dtype=np.int32)
+
+        # transport mode: ROI-packed canvas (ops/packing.py) when it moves
+        # fewer bytes than the full zero-padded canvases (it almost always
+        # does on detection workloads — frames are mostly dead pixels), or
+        # when a source frame exceeds the fixed canvas (packing lifts that
+        # restriction); cfg 'roi_packing': auto (default) / never / always
+        from egonet_tpu.ops import packing
+        plan = None
+        if self.pack_mode != "never":
+            plan = packing.plan(inv_f64, (height, width),
+                                np.asarray(whs, np.float64))
+        use_pack = False
+        if plan is not None:
+            if self.pack_mode == "always":
+                use_pack = True
+            else:
+                oversize = any(im.shape[0] > canvas_hw[0]
+                               or im.shape[1] > canvas_hw[1]
+                               for im in decoded)
+                use_pack = oversize or (plan.canvas_bytes <
+                                        n_img * canvas_hw[0]
+                                        * canvas_hw[1] * 3)
+        if use_pack:
+            images = packing.assemble(plan, decoded, img_idx)
+            self.transport_stats["packed_batches"] += 1
+            self.transport_stats["packed_bytes"] += images.nbytes
+        else:
+            self.transport_stats["canvas_batches"] += 1
+            self.transport_stats["canvas_bytes"] += (
+                n_img * canvas_hw[0] * canvas_hw[1] * 3)
+            images = np.zeros((n_img, canvas_hw[0], canvas_hw[1], 3),
+                              np.uint8)
+            for i, im in enumerate(decoded):
+                h, w = im.shape[:2]
+                if h > canvas_hw[0] or w > canvas_hw[1]:
+                    raise ValueError(f"image {paths[i]} ({h}x{w}) exceeds "
+                                     f"canvas {canvas_hw}")
+                images[i, :h, :w] = im
 
         Ks = [np.asarray(annot_dict["K"][i]) if "K" in annot_dict
               else np.eye(3) for i in range(n_img)]
@@ -318,14 +433,23 @@ class EgoNet:
         pad = bucket - n_total
         valid = np.concatenate([np.ones(n_total, np.float32),
                                 np.zeros(pad, np.float32)])
-        inv_mats = np.concatenate(
-            [inv_mats, np.tile(np.eye(2, 3, dtype=np.float32)[None],
-                               (pad, 1, 1))])
-        img_idx = np.concatenate([img_idx, np.zeros(pad, np.int32)])
-        K_f = np.concatenate([K_f, np.ones(pad, np.float32)])
-        K_cx = np.concatenate([K_cx, np.zeros(pad, np.float32)])
-        img_wh = np.concatenate([np.asarray(whs, np.float32),
-                                 np.ones((pad, 2), np.float32)])
+        # fused per-instance meta; padding rows get identity affines and
+        # benign K/img_wh values (their outputs are masked by valid=0)
+        meta = np.zeros((bucket, META_COLS), np.float32)
+        meta[:, 0:6] = np.eye(2, 3).reshape(6)
+        meta[:n_total, 0:6] = inv_mats.reshape(n_total, 6)
+        if use_pack:
+            meta[:n_total, 6:8] = plan.offsets
+            meta[:n_total, 8] = plan.win_y
+            meta[:n_total, 14:18] = plan.bounds
+        else:
+            meta[:n_total, 8] = img_idx
+        meta[:, 9] = valid
+        meta[:, 10] = 1.0
+        meta[:n_total, 10] = K_f
+        meta[:n_total, 11] = K_cx
+        meta[:, 12:14] = 1.0
+        meta[:n_total, 12:14] = np.asarray(whs, np.float32)
 
         ls = self.ls_stats
         if self.mesh is not None:
@@ -333,21 +457,12 @@ class EgoNet:
             bsh = pmesh.batch_sharding(self.mesh)
             rsh = pmesh.replicated_sharding(self.mesh)
             dev_args = (jax.device_put(images, rsh),
-                        jax.device_put(inv_mats.astype(np.float32), bsh),
-                        jax.device_put(img_idx, bsh),
-                        jax.device_put(valid, bsh),
-                        jax.device_put(K_f, bsh),
-                        jax.device_put(K_cx, bsh))
-            if self.add_xy:
-                dev_args += (jax.device_put(img_wh, bsh),)
+                        jax.device_put(meta, bsh))
         else:
-            dev_args = (jnp.asarray(images), jnp.asarray(inv_mats),
-                        jnp.asarray(img_idx), jnp.asarray(valid),
-                        jnp.asarray(K_f), jnp.asarray(K_cx))
-            if self.add_xy:
-                dev_args += (jnp.asarray(img_wh),)
-        out = self._get_jitted(alpha_mode)(
-            self.hrnet_vars, self.lifter_vars, ls, *dev_args)
+            dev_args = (jnp.asarray(images), jnp.asarray(meta))
+        kw = {"window_h": plan.window_h} if use_pack else {}
+        out = self._get_jitted(alpha_mode, packed=use_pack)(
+            self.hrnet_vars, self.lifter_vars, ls, *dev_args, **kw)
         ctx = dict(annot_dict=annot_dict, paths=paths,
                    per_image_counts=per_image_counts, centers=centers,
                    scales=scales, rbs=rbs)
@@ -362,7 +477,19 @@ class EgoNet:
         paths = ctx["paths"]
         per_image_counts = ctx["per_image_counts"]
         centers, scales, rbs = ctx["centers"], ctx["scales"], ctx["rbs"]
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # ONE device->host fetch of the fused [N, D] output, then host-side
+        # column slicing (see _tail)
+        flat = np.asarray(out)
+        k2 = int(self.cfgs["heatmapModel"]["num_joints"]) * 2
+        od = int(self.cfgs["FCModel"]["output_size"])
+        out = {
+            "kpts_2d": flat[:, :k2].reshape(-1, k2 // 2, 2),
+            "kpts_3d": flat[:, k2:k2 + od].reshape(-1, od // 3, 3),
+            "euler_angles": flat[:, k2 + od:k2 + od + 3],
+            "translation": flat[:, k2 + od + 3:k2 + od + 6],
+            "alphas": flat[:, k2 + od + 6],
+            "valid": flat[:, k2 + od + 7],
+        }
 
         # regroup per image
         records = {}

@@ -385,16 +385,31 @@ def warp_affine(image: jax.Array, inv_mat: jax.Array, out_hw) -> jax.Array:
 
 
 def _interp_weights(start: jax.Array, step: jax.Array, n_out: int,
-                    n_src: int, dtype=jnp.float32) -> jax.Array:
+                    n_src: int, dtype=jnp.float32,
+                    offset: jax.Array | None = None) -> jax.Array:
     """Linear-interpolation weight matrix for a 1-D affine resample.
 
     Output sample i reads source coordinate ``start + step*i``; entry
     [i, v] is the bilinear hat weight max(0, 1 - |coord_i - v|).  Out-of-
     range coordinates get all-zero rows — identical to BORDER_CONSTANT(0).
+
+    ``offset`` (ROI packing) is an INTEGER-valued translation ADDED to the
+    source indices, not subtracted from the coordinates: integer+integer
+    sums below 2^24 are exact in fp32, so entry [i, u] computes the very
+    same ``|coords_i - v|`` subtraction (v = u + offset) the un-offset
+    full-canvas weights compute — packed WEIGHTS are bit-identical to the
+    full-canvas weights.  (Subtracting from ``coords`` instead would round
+    whenever the shift grows the magnitude.)  The warp outputs still agree
+    only to 1 fp32 ulp: the second matmul pass multiplies bf16 weights by
+    full-precision f32 row sums — inexact products whose FMA/reduction
+    association XLA picks per shape.
     Returns [n_out, n_src].
     """
     coords = start + step * jnp.arange(n_out, dtype=jnp.float32)
-    d = jnp.abs(coords[:, None] - jnp.arange(n_src, dtype=jnp.float32)[None])
+    src = jnp.arange(n_src, dtype=jnp.float32)
+    if offset is not None:
+        src = src + offset
+    d = jnp.abs(coords[:, None] - src[None])
     return jnp.maximum(0.0, 1.0 - d).astype(dtype)
 
 
@@ -445,6 +460,70 @@ def warp_affine_separable(images: jax.Array,
                           preferred_element_type=dtype)
 
     return jax.vmap(one)(inv_mats, img_idx)
+
+
+def warp_affine_separable_windowed(canvas: jax.Array,
+                                   inv_mats: jax.Array,
+                                   offsets: jax.Array,
+                                   win_y: jax.Array,
+                                   out_hw,
+                                   window_h: int,
+                                   dtype=jnp.float32,
+                                   bounds: jax.Array | None = None
+                                   ) -> jax.Array:
+    """Separable warp over a ROI-packed canvas (see ops/packing.py).
+
+    canvas: [Hp, Wp, C] packed footprints; inv_mats: [N, 2, 3] the ORIGINAL
+    (source-coordinate) axis-aligned affines; offsets: [N, 2] integer-valued
+    fp32 (x_off, y_off) mapping source coords into the canvas/window frame;
+    win_y: [N] int32 window start rows; window_h: static window height
+    covering the tallest footprint.
+
+    Each instance reads only its [window_h, Wp] slice instead of a whole
+    source frame — the packed warp moves FEWER bytes through HBM than the
+    full-canvas warp as well as through the host->device link.  The
+    interpolation weights are bit-identical to
+    :func:`warp_affine_separable`'s (integer-offset construction, see
+    ``_interp_weights``); outputs agree to 1 fp32 ulp (XLA's per-shape
+    accumulation codegen is the only difference).
+
+    ``bounds`` [N, 4] (x0, x1, y0, y1): valid-read ranges (x in canvas
+    columns, y in window rows).  Slots hold only the IMAGE-clipped
+    footprint; reads outside the source frame — zero-valued pixels in the
+    full-canvas warp — become exact zero WEIGHTS here (integer
+    comparisons), so edge-hanging boxes don't ship zero margins.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    wp = canvas.shape[1]
+    canvas_f = canvas.astype(jnp.float32)
+    precision = jax.lax.Precision.DEFAULT
+
+    def one(mat, off, wy, bnd):
+        mat = mat.astype(jnp.float32)
+        win = jax.lax.dynamic_slice(
+            canvas_f, (wy, 0, 0), (window_h, wp, canvas_f.shape[2]))
+        ry = _interp_weights(mat[1, 2], mat[1, 1], out_h, window_h,
+                             dtype=jnp.bfloat16, offset=off[1])
+        rx = _interp_weights(mat[0, 2], mat[0, 0], out_w, wp,
+                             dtype=jnp.bfloat16, offset=off[0])
+        if bnd is not None:
+            cols = jnp.arange(wp, dtype=jnp.float32)
+            rows = jnp.arange(window_h, dtype=jnp.float32)
+            rx = rx * ((cols >= bnd[0]) & (cols < bnd[1]))[None].astype(
+                rx.dtype)
+            ry = ry * ((rows >= bnd[2]) & (rows < bnd[3]))[None].astype(
+                ry.dtype)
+        tmp = jnp.einsum("xw,hwc->hxc", rx, win, precision=precision,
+                         preferred_element_type=dtype)
+        return jnp.einsum("yh,hxc->yxc", ry, tmp, precision=precision,
+                          preferred_element_type=dtype)
+
+    if bounds is None:
+        return jax.vmap(lambda m, o, w: one(m, o, w, None))(
+            inv_mats, offsets.astype(jnp.float32), win_y.astype(jnp.int32))
+    return jax.vmap(one)(inv_mats, offsets.astype(jnp.float32),
+                         win_y.astype(jnp.int32),
+                         bounds.astype(jnp.float32))
 
 
 def warp_instances(image: jax.Array,

@@ -58,15 +58,17 @@ def drift_harness(dtype_a, dtype_b, n_instances: int = 6,
         mats = affine.crop_matrices_for_boxes(boxes, (height, width),
                                               height / width, 1.1)
         ls = {k: jnp.asarray(v) for k, v in _plausible_ls_stats().items()}
-        out = model._get_jitted("proj")(
+        from egonet_tpu.models.egonet import pack_meta
+        meta = pack_meta(mats["inv"], np.zeros(n_instances),
+                         np.ones(n_instances), 707.0, 604.0)
+        flat = np.asarray(model._get_jitted("proj")(
             model.hrnet_vars, model.lifter_vars, ls, images,
-            jnp.asarray(mats["inv"].astype(np.float32)),
-            jnp.zeros(n_instances, jnp.int32),
-            jnp.ones(n_instances, jnp.float32),
-            jnp.full((n_instances,), 707.0, jnp.float32),
-            jnp.full((n_instances,), 604.0, jnp.float32))
-        return (np.asarray(out["euler_angles"][:, 1], np.float64),
-                np.asarray(out["alphas"], np.float64))
+            jnp.asarray(meta)))
+        # fused output columns (see EgoNet._tail): euler ry then alpha
+        k2 = int(model.cfgs["heatmapModel"]["num_joints"]) * 2
+        od = int(model.cfgs["FCModel"]["output_size"])
+        return (np.asarray(flat[:, k2 + od + 1], np.float64),
+                np.asarray(flat[:, -2], np.float64))
 
     ry_a, al_a = run(dtype_a)
     ry_b, al_b = run(dtype_b)

@@ -51,6 +51,53 @@ PEDS = [
 ]
 
 
+def wrap_angle(a: float) -> float:
+    return float(np.arctan2(np.sin(a), np.cos(a)))
+
+
+def random_cars(rng, n=3, z_range=(8.0, 22.0)):
+    """Randomized, non-overlapping car records with KITTI-consistent alpha
+    (= ry - atan2(x, z)); z <= 22 m keeps boxes > 40 px tall, i.e. 'easy'
+    difficulty for the evaluator."""
+    recs = []
+    # separated lateral slots so instances (and their drawn keypoints)
+    # don't overlap in the image
+    slots = np.linspace(-7.0, 7.0, n + 1)
+    for i in range(n):
+        dims = (rng.uniform(1.40, 1.60), rng.uniform(1.50, 1.70),
+                rng.uniform(3.5, 4.2))                       # h, w, l
+        x = rng.uniform(slots[i] + 1.0, slots[i + 1] - 1.0)
+        z = rng.uniform(*z_range)
+        y = 1.65 + rng.uniform(-0.05, 0.05)
+        ry = rng.uniform(-np.pi, np.pi)
+        alpha = wrap_angle(ry - np.arctan2(x, z))
+        recs.append(_rec("Car", alpha, dims, (x, y, z), ry))
+    return recs
+
+
+def draw_instance_keypoints(img, recs, radius=3):
+    """Render each instance's 33 projected cuboid keypoints as dots with a
+    distinct color per keypoint index — a learnable visual signal for the
+    trained-closed-loop test (the heatmap model can only recover geometry
+    from pixels if the pixels carry it)."""
+    import colorsys
+    import cv2
+    from egonet_tpu.data import cuboid as cb
+    shift = (np.linalg.inv(K_FIXED) @ T_SHIFT).reshape(3, 1)
+    for rec in recs:
+        _cls, _t, _o, _a, _bbox, (h, w, l), loc, ry = rec
+        pts = cb.construct_box_3d(l, h, w)                   # [3, 33]
+        placed = cb.place_cuboid(pts, np.array([*loc, 0.0, ry, 0.0]), shift)
+        proj = cb.project_3d_to_2d(placed, K_FIXED)          # [3, 33]
+        for k in range(proj.shape[1]):
+            u, v = int(round(proj[0, k])), int(round(proj[1, k]))
+            if 0 <= u < IMG_W and 0 <= v < IMG_H:
+                col = tuple(int(255 * c) for c in
+                            colorsys.hsv_to_rgb(k / 33.0, 1.0, 1.0))
+                cv2.circle(img, (u, v), radius, col, -1)
+    return img
+
+
 def _label_line(rec, score=None):
     cls, trunc, occ, alpha, bbox, dims, loc, ry = rec
     s = (f"{cls} {trunc:.2f} {occ} {alpha:.2f} "
@@ -63,7 +110,8 @@ def _label_line(rec, score=None):
 
 
 def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
-                    classes_per_image=None, seed=0, smooth=False):
+                    classes_per_image=None, seed=0, smooth=False,
+                    draw_keypoints=False):
     """Create a KITTI-layout directory with n_images synthetic frames.
 
     ``smooth`` renders low-frequency images (upsampled coarse noise) instead
@@ -87,15 +135,18 @@ def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
     rng = np.random.RandomState(seed)
     names = [f"{i:06d}" for i in range(n_images)]
     for i, name in enumerate(names):
+        recs = classes_per_image[i] if classes_per_image else CARS
         if smooth:
             low = rng.randint(0, 255, size=(IMG_H // 48 + 1, IMG_W // 48 + 1,
                                             3), dtype=np.uint8)
             img = cv2.resize(low, (IMG_W, IMG_H),
                              interpolation=cv2.INTER_CUBIC)
+        elif draw_keypoints:
+            img = np.full((IMG_H, IMG_W, 3), 60, dtype=np.uint8)
+            draw_instance_keypoints(img, recs)
         else:
             img = rng.randint(0, 255, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
         cv2.imwrite(os.path.join(img_dir, name + ".png"), img)
-        recs = classes_per_image[i] if classes_per_image else CARS
         with open(os.path.join(lbl_dir, name + ".txt"), "w") as f:
             f.write("\n".join(_label_line(r) for r in recs) + "\n")
         p_line = "P2: " + " ".join(
