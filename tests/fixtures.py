@@ -75,17 +75,24 @@ def random_cars(rng, n=3, z_range=(8.0, 22.0)):
     return recs
 
 
-def draw_instance_keypoints(img, recs, radius=3):
+def draw_instance_keypoints(img, recs, radius=None):
     """Render each instance's 33 projected cuboid keypoints as dots with a
     distinct color per keypoint index — a learnable visual signal for the
     trained-closed-loop test (the heatmap model can only recover geometry
-    from pixels if the pixels carry it)."""
+    from pixels if the pixels carry it).  ``radius=None`` scales each
+    instance's dots with its apparent size so they survive the crop's
+    downscale to the model input (a fixed 2-3 px dot shrinks below one
+    pixel for near instances and the task degenerates to memorization)."""
     import colorsys
     import cv2
     from egonet_tpu.data import cuboid as cb
     shift = (np.linalg.inv(K_FIXED) @ T_SHIFT).reshape(3, 1)
     for rec in recs:
-        _cls, _t, _o, _a, _bbox, (h, w, l), loc, ry = rec
+        _cls, _t, _o, _a, bbox, (h, w, l), loc, ry = rec
+        if radius is None:
+            r = int(np.clip(round((bbox[3] - bbox[1]) / 24.0), 2, 8))
+        else:
+            r = radius
         pts = cb.construct_box_3d(l, h, w)                   # [3, 33]
         placed = cb.place_cuboid(pts, np.array([*loc, 0.0, ry, 0.0]), shift)
         proj = cb.project_3d_to_2d(placed, K_FIXED)          # [3, 33]
@@ -94,7 +101,7 @@ def draw_instance_keypoints(img, recs, radius=3):
             if 0 <= u < IMG_W and 0 <= v < IMG_H:
                 col = tuple(int(255 * c) for c in
                             colorsys.hsv_to_rgb(k / 33.0, 1.0, 1.0))
-                cv2.circle(img, (u, v), radius, col, -1)
+                cv2.circle(img, (u, v), r, col, -1)
     return img
 
 

@@ -23,9 +23,15 @@ import yaml
 
 from tests import fixtures
 
-N_IMAGES = 32           # 16 train / 16 valid
+# ~1 h of CPU training: run on demand (EGONET_SLOW_TESTS=1), not in the
+# default suite.  COVERAGE.md records the output of a full run.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("EGONET_SLOW_TESTS"),
+    reason="trained closed loop trains for ~1 h; set EGONET_SLOW_TESTS=1")
+
+N_IMAGES = 256          # 128 train / 128 valid
 CARS_PER_IMAGE = 3
-HC_EPOCHS = 40
+HC_EPOCHS = 60
 AOS_EASY_MIN = 85.0
 
 
@@ -64,11 +70,19 @@ def trained_world(tmp_path_factory):
     cfg["dataset"]["root"] = root
     fixtures.shrink_hrnet(cfg)
     cfg["heatmapModel"]["pretrained"] = ""
-    cfg["training_settings"].update({"batch_size": 4, "total_epochs": 1})
+    # training crops aligned with the submission crop chain (1.2 x 1.1 ==
+    # one 1.32x enlargement; the aspect fix commutes with scaling), with
+    # mild jitter for generalization and a constant lr (the tiny set
+    # converges before any decay is useful)
+    cfg["dataset"]["enlarge_factor"] = 1.32
+    cfg["heatmapModel"]["jitter_params"] = {"scaling": [0.2, 0.2],
+                                            "shift": [0.05, 0.05]}
+    cfg["optimizer"]["milestones"] = [100000]
+    cfg["training_settings"].update({"batch_size": 6, "total_epochs": 1})
     ds = kitti.KITTIDataset(cfg, "train")
-    trainer = IGRTrainer(cfg)
     loader = IGRBatchLoader(ds.records, cfg, train=True, max_instances=16,
                             seed=0)
+    trainer = IGRTrainer(cfg, steps_per_epoch=len(loader))
     state = trainer.init_state(0)
     first = last = None
     for ep in range(HC_EPOCHS):
