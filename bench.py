@@ -16,6 +16,11 @@ Measurements, ONE JSON line:
                            tools/inference.py.
   flops_per_crop / mfu   — XLA cost-analysis FLOPs and achieved model FLOPs
                            utilization vs the v5e bf16 peak.
+  h2d_mb_per_sec / e2e_vs_transport_ceiling — measured tunnel H2D rate and
+                           how close the e2e loop runs to the ceiling that
+                           rate imposes on its packed bytes/crop (this
+                           rig's tunnel swings 10-35 MB/s run to run, so
+                           the raw e2e number alone is weather).
 
 Baseline target (BASELINE.md): >= 2000 instance-crops/sec/chip.
 """
@@ -204,7 +209,7 @@ def bench_e2e(model, out_dir, epochs=3, images_per_batch=16,
     run_epoch()                              # warmup: compile + page cache
     best = 0.0
     crops_done = 0
-    for _ in range(2):                       # best-of-2: tunnel stalls flake
+    for _ in range(3):                       # best-of-3: tunnel stalls flake
         t0 = time.perf_counter()
         total = 0
         for _ in range(epochs):
@@ -258,10 +263,10 @@ def main():
                                           if ts["packed_batches"]
                                           >= ts["canvas_batches"]
                                           else "canvas")
-                # stats cover 7 epochs (1 warmup + 2x3 timed); e2e_crops
-                # counts the 6 timed ones
+                # stats cover 10 epochs (1 warmup + 3x3 timed); e2e_crops
+                # counts the 9 timed ones
                 extra["h2d_kb_per_crop"] = round(
-                    moved / (e2e_crops * 7 / 6) / 1e3, 1)
+                    moved / (e2e_crops * 10 / 9) / 1e3, 1)
             # On THIS rig the chip sits behind a network tunnel: measure the
             # actual H2D rate so the e2e number can be read correctly —
             # production PCIe moves the same canvas in ~2 ms.
@@ -275,6 +280,13 @@ def main():
                 float(s(jax.device_put(x, jax.devices()[0])))
             h2d = x.nbytes / ((time.perf_counter() - t0) / 3)
             extra["h2d_mb_per_sec"] = round(h2d / 1e6, 1)
+            # how close the pipeline runs to the ceiling the measured
+            # tunnel rate imposes on its bytes/crop (the tunnel swings
+            # 10-35 MB/s run to run, so e2e_crops_per_sec alone is a
+            # weather report; this ratio is the design metric)
+            if "h2d_kb_per_crop" in extra and extra["h2d_kb_per_crop"]:
+                ceiling = h2d / (extra["h2d_kb_per_crop"] * 1e3)
+                extra["e2e_vs_transport_ceiling"] = round(e2e / ceiling, 3)
         except Exception as exc:                      # never break the bench
             extra["e2e_error"] = str(exc)[:200]
 

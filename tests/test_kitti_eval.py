@@ -598,3 +598,38 @@ def test_cpp_server_count_overflow_rejected(tmp_path):
                               str(tmp_path)], capture_output=True, text=True)
         assert out.returncode != 0, bad
         assert "invalid" in out.stderr
+
+
+@pytest.mark.skipif(not os.path.exists(CPP_BIN),
+                    reason="C++ evaluator not built")
+def test_cpp_email_notification_offline_fallback(tmp_path):
+    """--email teed notification (reference Mail, kitti-eval/mail.h:8-46):
+    with no sendmail on the host the composed message lands in
+    <result_dir>/notification.txt — headers plus exactly the lines printed
+    to stdout, in order."""
+    frames = [(_spread_gt(5, seed=f)) for f in range(3)]
+    gt_dir, res_dir = make_dirs(tmp_path, [(g, d) for g, d in frames])
+    out = subprocess.run([CPP_BIN, "--email=user@example.com",
+                          gt_dir, res_dir], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    note = os.path.join(res_dir, "notification.txt")
+    if os.path.exists("/usr/lib/sendmail"):
+        pytest.skip("host has sendmail; fallback file not expected")
+    assert os.path.exists(note)
+    body = open(note).read()
+    assert body.startswith("To: user@example.com\n"
+                           "Subject: KITTI Evaluation Benchmark\n")
+    teed = [ln for ln in out.stdout.splitlines()
+            if ln and not ln.startswith("notification written")]
+    assert body.splitlines()[-len(teed):] == teed
+    assert any(ln.startswith("car_orientation AP:") for ln in teed)
+    # no email -> no notification artifact
+    res2 = os.path.join(str(tmp_path), "res2")
+    os.makedirs(os.path.join(res2, "data"))
+    for n in os.listdir(os.path.join(res_dir, "data")):
+        with open(os.path.join(res_dir, "data", n)) as f:
+            open(os.path.join(res2, "data", n), "w").write(f.read())
+    out2 = subprocess.run([CPP_BIN, gt_dir, res2],
+                          capture_output=True, text=True)
+    assert out2.returncode == 0, out2.stderr
+    assert not os.path.exists(os.path.join(res2, "notification.txt"))

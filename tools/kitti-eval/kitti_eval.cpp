@@ -16,12 +16,20 @@
 // evaluate_object_3d.  Differences: a FIXED index range 0..N-1 (default
 // 7518 test images) where every detection file must exist, and looser
 // ground/3D overlap thresholds for pedestrians/cyclists (0.5/0.25/0.25).
-// The reference's sendmail notification and result-dir deletion are
-// intentionally not reproduced (offline evaluation has no mail endpoint).
+// The reference's result-dir deletion is intentionally not reproduced.
+//
+// Notification (behavioural spec: the reference's Mail tee, mail.h:8-46,
+// which prints every progress/summary line to stdout AND, when an email
+// address is supplied, pipes the same lines through sendmail): enabled by
+// --email=<addr>.  Offline-capable: when no sendmail binary exists on the
+// host, the composed message (headers + the same lines) is written to
+// <result_dir>/notification.txt instead, so the notification is captured
+// rather than silently lost.
 
 #include <algorithm>
 #include <cctype>
 #include <cerrno>
+#include <cstdarg>
 #include <cstdlib>
 #include <cmath>
 #include <cstdio>
@@ -29,6 +37,7 @@
 #include <dirent.h>
 #include <numeric>
 #include <string>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -439,16 +448,88 @@ void save_rows(FILE *fp, const std::vector<double> &row) {
   fprintf(fp, "\n");
 }
 
-void report(const char *label, std::vector<double> curves[3]) {
+// Stdout + optional mail tee (behavioural spec: the reference Mail class,
+// mail.h:8-46 — every msg() line goes to stdout verbatim AND, when an
+// address is given, to a sendmail pipe with To/From/Subject headers).
+// Offline fallback: no sendmail on the host -> the composed message is
+// written to <result_dir>/notification.txt instead.
+class Notifier {
+ public:
+  Notifier(const std::string &email, const std::string &result_dir) {
+    if (email.empty()) return;
+    if (access("/usr/lib/sendmail", X_OK) == 0) {
+      sink_ = popen("/usr/lib/sendmail -t", "w");
+      piped_ = sink_ != nullptr;
+    }
+    if (!sink_) {
+      fallback_path_ = result_dir + "/notification.txt";
+      sink_ = fopen(fallback_path_.c_str(), "w");
+    }
+    if (sink_) {
+      fprintf(sink_, "To: %s\n", email.c_str());
+      fprintf(sink_, "Subject: KITTI Evaluation Benchmark\n\n\n");
+    } else {
+      fprintf(stderr, "WARNING: cannot open a notification sink for %s\n",
+              email.c_str());
+    }
+  }
+  ~Notifier() {
+    if (!sink_) return;
+    if (piped_) {
+      pclose(sink_);
+    } else {
+      fclose(sink_);
+      printf("notification written to %s\n", fallback_path_.c_str());
+    }
+  }
+  Notifier(const Notifier &) = delete;
+  Notifier &operator=(const Notifier &) = delete;
+
+  void msg(const char *format, ...) {
+    va_list args;
+    va_start(args, format);
+    tee(stdout, format, args);
+    va_end(args);
+  }
+
+  // errors keep their stderr stream (unlike the reference, which sends
+  // everything to stdout) but still reach the mail sink
+  void err(const char *format, ...) {
+    va_list args;
+    va_start(args, format);
+    tee(stderr, format, args);
+    va_end(args);
+  }
+
+ private:
+  void tee(FILE *console, const char *format, va_list args) {
+    if (sink_) {
+      va_list copy;
+      va_copy(copy, args);
+      vfprintf(sink_, format, copy);
+      fprintf(sink_, "\n");
+      va_end(copy);
+    }
+    vfprintf(console, format, args);
+    fprintf(console, "\n");
+  }
+
+  FILE *sink_ = nullptr;
+  bool piped_ = false;
+  std::string fallback_path_;
+};
+
+void report(const char *label, std::vector<double> curves[3],
+            Notifier *notify) {
   double r40[3] = {0, 0, 0}, r11[3] = {0, 0, 0};
   for (int d = 0; d < 3; ++d) {
     for (size_t i = 1; i < curves[d].size(); ++i) r40[d] += curves[d][i];
     for (size_t i = 0; i < curves[d].size(); i += 4) r11[d] += curves[d][i];
   }
-  printf("%s AP: %f %f %f\n", label, r40[0] / 40 * 100, r40[1] / 40 * 100,
-         r40[2] / 40 * 100);
-  printf("%s AP_R11: %f %f %f\n", label, r11[0] / 11 * 100,
-         r11[1] / 11 * 100, r11[2] / 11 * 100);
+  notify->msg("%s AP: %f %f %f", label, r40[0] / 40 * 100,
+              r40[1] / 40 * 100, r40[2] / 40 * 100);
+  notify->msg("%s AP_R11: %f %f %f", label, r11[0] / 11 * 100,
+              r11[1] / 11 * 100, r11[2] / 11 * 100);
 }
 
 }  // namespace
@@ -466,9 +547,17 @@ int main(int argc, char **argv) {
     if (base == "evaluate_object_3d") server_mode = true;
   }
   std::vector<std::string> pos_args;
+  std::string email;
   for (int i = 1; i < argc; ++i) {
     std::string a(argv[i]);
-    if (a.rfind("--server", 0) == 0) {
+    if (a.rfind("--email=", 0) == 0) {
+      email = a.substr(8);
+      if (email.empty()) {
+        fprintf(stderr, "invalid %s: expected --email=<address>\n",
+                a.c_str());
+        return 1;
+      }
+    } else if (a.rfind("--server", 0) == 0) {
       server_mode = true;
       if (a.size() > 8) {
         // anything after "--server" must be "=<positive integer>"
@@ -492,7 +581,9 @@ int main(int argc, char **argv) {
     }
   }
   if (pos_args.size() != 2) {
-    fprintf(stderr, "Usage: %s [--server[=N]] <gt_dir> <result_dir>\n",
+    fprintf(stderr,
+            "Usage: %s [--server[=N]] [--email=<addr>] <gt_dir> "
+            "<result_dir>\n",
             argv[0]);
     return 1;
   }
@@ -500,6 +591,7 @@ int main(int argc, char **argv) {
   std::string gt_dir = pos_args[0];
   std::string result_dir = pos_args[1];
   std::string data_dir = result_dir + "/data";
+  Notifier notify(email, result_dir);
 
   std::vector<std::string> names;
   if (server_mode) {
@@ -511,9 +603,8 @@ int main(int argc, char **argv) {
       if (FILE *fp = fopen(p.c_str(), "r")) {
         fclose(fp);
       } else {
-        fprintf(stderr,
-                "ERROR: server mode requires all %d files; missing %s\n",
-                n_testimages, p.c_str());
+        notify.err("ERROR: server mode requires all %d files; missing %s",
+                   n_testimages, p.c_str());
         return 1;
       }
       names.push_back(buf);
@@ -531,12 +622,12 @@ int main(int argc, char **argv) {
     }
     closedir(dir);
   } else {
-    fprintf(stderr, "cannot open %s\n", data_dir.c_str());
+    notify.err("cannot open %s", data_dir.c_str());
     return 1;
   }
   std::sort(names.begin(), names.end());
-  printf("number of files for evaluation: %d\n",
-         static_cast<int>(names.size()));
+  notify.msg("number of files for evaluation: %d",
+             static_cast<int>(names.size()));
 
   bool compute_aos = true;
   bool eval_image_cls[N_CLASS] = {false, false, false};
@@ -547,11 +638,11 @@ int main(int argc, char **argv) {
   for (const std::string &n : names) {
     Frame f;
     if (!load_file(gt_dir + "/" + n, false, &f.gt, nullptr)) {
-      fprintf(stderr, "ERROR: couldn't read ground truth %s\n", n.c_str());
+      notify.err("ERROR: couldn't read ground truth %s", n.c_str());
       return 1;
     }
     if (!load_file(data_dir + "/" + n, true, &f.det, &compute_aos)) {
-      fprintf(stderr, "ERROR: couldn't read %s\n", n.c_str());
+      notify.err("ERROR: couldn't read %s", n.c_str());
       return 1;
     }
     for (const Obj &d : f.det) {
@@ -603,7 +694,7 @@ int main(int argc, char **argv) {
         fprintf(stderr, "WARNING: cannot write %s\n", stats.c_str());
       }
       std::string label = std::string(CLASS_NAMES[c]) + "_" + task.suffix;
-      report(label.c_str(), precision);
+      report(label.c_str(), precision, &notify);
       if (with_aos) {
         std::string ostats =
             result_dir + "/stats_" + CLASS_NAMES[c] + "_orientation.txt";
@@ -614,7 +705,7 @@ int main(int argc, char **argv) {
           fprintf(stderr, "WARNING: cannot write %s\n", ostats.c_str());
         }
         std::string olabel = std::string(CLASS_NAMES[c]) + "_orientation";
-        report(olabel.c_str(), aos);
+        report(olabel.c_str(), aos, &notify);
       }
     }
   }
