@@ -1,0 +1,166 @@
+"""Serving layer: micro-batching dispatcher + HTTP facade
+(egonet_tpu/serving/ — TPU-native extension; the reference has no serving
+surface, see COVERAGE.md)."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    from egonet_tpu.config import default_demo_config
+    from egonet_tpu.models.egonet import EgoNet
+    cfgs = default_demo_config()
+    fixtures.shrink_hrnet(cfgs)
+    return EgoNet(cfgs, pre_trained=False)
+
+
+@pytest.fixture()
+def server(small_model):
+    from egonet_tpu.serving import PoseServer
+    srv = PoseServer(small_model, port=0, max_images=8,
+                     max_wait_ms=60.0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, payload, path="/v1/pose"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def _png_b64(rng, h=96, w=128):
+    import cv2
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def test_healthz_and_single_request(server, rng):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["ok"] is True
+
+    resp = _post(server.port, {
+        "image_b64": _png_b64(rng),
+        "boxes": [[10, 10, 70, 60], [40, 20, 120, 90]],
+        "K": [[707.0, 0, 64.0], [0, 707.0, 48.0], [0, 0, 1.0]],
+    })
+    assert len(resp["instances"]) == 2
+    for inst in resp["instances"]:
+        assert np.isfinite(inst["alpha"])
+        assert np.isfinite(inst["rot_y"])
+        assert abs(inst["alpha"]) <= np.pi + 1e-6
+        assert len(inst["euler_angles"]) == 3
+        assert len(inst["translation"]) == 3
+        assert np.isfinite(np.asarray(inst["kpts_2d"])).all()
+        assert np.isfinite(np.asarray(inst["kpts_3d"])).all()
+
+
+def test_concurrent_requests_share_a_microbatch(server, rng):
+    """Posts issued together coalesce: the batcher's batch counter grows
+    by less than the request count, and responses report companions."""
+    b0 = server.batcher.stats["batches"]
+    n = 6
+    payloads = [{"image_b64": _png_b64(rng, 80 + 8 * i, 112),
+                 "boxes": [[5 + i, 5, 60 + i, 55]]} for i in range(n)]
+    results = [None] * n
+
+    def work(i):
+        results[i] = _post(server.port, payloads[i])
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert all(r is not None and len(r["instances"]) == 1 for r in results)
+    batches_used = server.batcher.stats["batches"] - b0
+    assert batches_used < n, (batches_used, n)
+    assert any(r["batched_with"] > 1 for r in results)
+
+
+def test_microbatch_matches_direct_pipeline(server, small_model, rng):
+    """A served prediction equals the same image/boxes through the direct
+    dispatch/finalize path (the batcher adds no numerics of its own)."""
+    import cv2
+    img = rng.randint(0, 255, (100, 140, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    boxes = [[12.0, 8.0, 90.0, 70.0]]
+    K = np.array([[700.0, 0, 70.0], [0, 700.0, 50.0], [0, 0, 1.0]])
+    resp = _post(server.port, {
+        "image_b64": base64.b64encode(buf.tobytes()).decode(),
+        "boxes": boxes, "K": K.tolist()})
+    rgb = cv2.imdecode(np.frombuffer(buf.tobytes(), np.uint8),
+                       cv2.IMREAD_COLOR)[:, :, ::-1].copy()
+    pending = small_model.dispatch_annot_dict(
+        {"path": ["x"], "images": [rgb],
+         "boxes": [np.asarray(boxes, np.float64)], "K": [K]},
+        enlarge=1.1, alpha_mode="proj")
+    rec = small_model.finalize(pending)["x"]
+    assert resp["instances"][0]["alpha"] == pytest.approx(
+        float(rec["alphas"][0]), abs=1e-6)
+    assert resp["instances"][0]["rot_y"] == pytest.approx(
+        float(rec["euler_angles"][0][1]), abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(resp["instances"][0]["kpts_3d"]),
+        np.asarray(rec["kpts_3d_pred"][0]), atol=1e-6)
+
+
+def test_empty_boxes_and_bad_payloads(server, rng):
+    resp = _post(server.port, {"image_b64": _png_b64(rng), "boxes": []})
+    assert resp["instances"] == []
+
+    for bad in ({"boxes": [[1, 2, 3, 4]]},                   # no image
+                {"image_b64": "not-base64!!", "boxes": []},
+                {"image_b64": _png_b64(rng), "boxes": [],
+                 "K": [[1, 2], [3, 4]]}):                    # bad K shape
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/pose",
+            data=json.dumps(bad).encode())
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code in (400, 500)
+
+
+def test_score_threshold_filters_boxes(server, rng):
+    resp = _post(server.port, {
+        "image_b64": _png_b64(rng),
+        "boxes": [[10, 10, 70, 60], [20, 15, 80, 65], [30, 20, 90, 70]],
+        "scores": [0.9, 0.2, 0.8],
+        "score_threshold": 0.5})
+    assert len(resp["instances"]) == 2
+
+
+def test_stats_endpoint(server, rng):
+    _post(server.port, {"image_b64": _png_b64(rng),
+                        "boxes": [[10, 10, 70, 60]]})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1
+    assert stats["instances"] >= 1
+    assert "transport" in stats
+
+
+def test_warmup_compiles_common_bucket(small_model):
+    from egonet_tpu.serving import PoseServer
+    srv = PoseServer(small_model, port=0, max_images=4, max_wait_ms=5.0)
+    try:
+        srv.warmup()
+        assert srv.batcher.stats["batches"] >= 1
+    finally:
+        srv.stop()
