@@ -329,7 +329,8 @@ class EgoNet:
 
     def dispatch_annot_dict(self, annot_dict: dict, enlarge: float = 1.1,
                             alpha_mode: str = "proj",
-                            canvas_hw=(384, 1280)):
+                            canvas_hw=(384, 1280),
+                            pack_profile: str = "transport"):
         """Host-prep one batch and ASYNCHRONOUSLY dispatch the fused device
         program; returns a pending handle for :meth:`finalize`.
 
@@ -389,7 +390,8 @@ class EgoNet:
         plan = None
         if self.pack_mode != "never":
             plan = packing.plan(inv_f64, (height, width),
-                                np.asarray(whs, np.float64))
+                                np.asarray(whs, np.float64),
+                                profile=pack_profile)
         use_pack = False
         if plan is not None:
             if self.pack_mode == "always":

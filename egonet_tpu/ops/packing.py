@@ -36,12 +36,33 @@ import dataclasses
 import numpy as np
 
 # Shape discipline: every distinct (canvas_h, canvas_w, window_h) triple
-# compiles a separate XLA program, so all three are coarsely quantized —
-# in steady state a fixed batch-size workload settles on 2-3 programs.
-# Width from a small bucket set; canvas/window heights in 256-row steps
-# (max ~0.78 MB of zero rows at the 2048 width, ~7% average overhead).
+# compiles a separate XLA program, so all three are coarsely quantized.
+# Two profiles trade transported zero-bytes against program count:
+#
+#   "transport" (default, the batch pipeline): width from a small bucket
+#     set, canvas/window heights in 256-row steps (max ~0.78 MB of zero
+#     rows at the 2048 width, ~7% average overhead).  A fixed batch-size
+#     workload settles on 2-3 programs.
+#   "serving" (egonet_tpu/serving): geometric (power-of-two) height
+#     levels and a coarser width set.  Request-driven micro-batches are
+#     RAGGED — content-proportional 256-row height levels multiply into
+#     dozens of one-off XLA programs (minutes of compile each); geometric
+#     levels bound the whole shape set to a handful at the cost of up to
+#     ~2x zero rows per canvas, the right trade on a PCIe host where the
+#     extra bytes are microseconds.
 _W_BUCKETS = (256, 512, 1024, 2048, 4096)
+_W_BUCKETS_SERVING = (1024, 2048, 4096)
 _H_QUANT = 256
+
+
+def _quantize_h(h: int, profile: str) -> int:
+    h = int(-(-h // _H_QUANT) * _H_QUANT)           # next 256 multiple
+    if profile == "serving":
+        level = _H_QUANT
+        while level < h:
+            level *= 2
+        return level
+    return h
 # footprints larger than this per axis fall back to canvas mode (a
 # degenerate detector box, not a real crop)
 MAX_SLOT = 4096
@@ -106,7 +127,7 @@ def _shelf_pack(slot_w: np.ndarray, slot_h: np.ndarray, bin_w: int):
 
 
 def plan(inv_mats: np.ndarray, out_hw,
-         img_wh: np.ndarray) -> PackPlan | None:
+         img_wh: np.ndarray, profile: str = "transport") -> PackPlan | None:
     """Compute a packing plan, or None when footprints are degenerate.
 
     img_wh: [N, 2] per-instance source frame (width, height).  Footprints
@@ -115,7 +136,14 @@ def plan(inv_mats: np.ndarray, out_hw,
     warp reproduces that with exact zero WEIGHTS (the ``bounds`` mask)
     instead of shipping zero pixels.  Edge-hugging boxes shed 15-30% of
     their slot bytes this way.
+
+    profile: "transport" (minimal bytes) or "serving" (bounded program
+    count) — see the shape-discipline note above.  The placement and
+    weight math are identical; only the canvas/window padding differs,
+    so warp outputs are the same under either profile.
     """
+    if profile not in ("transport", "serving"):
+        raise ValueError(f"unknown packing profile {profile!r}")
     inv_mats = np.asarray(inv_mats, np.float64).reshape(-1, 2, 3)
     img_wh = np.asarray(img_wh).reshape(-1, 2)
     x_lo, y_lo, slot_w, slot_h = _footprints(inv_mats, out_hw)
@@ -140,13 +168,14 @@ def plan(inv_mats: np.ndarray, out_hw,
     # aim for a roughly square canvas (NFDH waste stays low and the height
     # bucket overhead is amortized); width must hold the widest footprint
     target_w = max(int(slot_w.max()), int(np.sqrt(total_area * 1.2)))
-    canvas_w = next((w for w in _W_BUCKETS if w >= target_w), _W_BUCKETS[-1])
+    buckets = _W_BUCKETS_SERVING if profile == "serving" else _W_BUCKETS
+    canvas_w = next((w for w in buckets if w >= target_w), buckets[-1])
     if canvas_w < slot_w.max():
         return None
 
     x0, y0, height = _shelf_pack(slot_w, slot_h, canvas_w)
-    window_h = int(-(-int(slot_h.max()) // _H_QUANT) * _H_QUANT)
-    canvas_h = max(int(-(-height // _H_QUANT) * _H_QUANT), window_h)
+    window_h = _quantize_h(int(slot_h.max()), profile)
+    canvas_h = max(_quantize_h(int(height), profile), window_h)
     win_y = np.minimum(y0, canvas_h - window_h).astype(np.int32)
 
     offsets = np.stack([

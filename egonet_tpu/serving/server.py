@@ -146,8 +146,12 @@ class MicroBatcher:
                               for r in live],
                     "K": [r.K for r in live],
                 }
+                # serving packing profile: request-driven micro-batches
+                # are ragged, so bound the XLA program count with geometric
+                # canvas shapes (ops/packing.py shape-discipline note)
                 pending = self.model.dispatch_annot_dict(
-                    annot, enlarge=self.enlarge, alpha_mode=self.alpha_mode)
+                    annot, enlarge=self.enlarge, alpha_mode=self.alpha_mode,
+                    pack_profile="serving")
                 self.stats["batches"] += 1
                 self.stats["instances"] += sum(len(r.boxes) for r in live)
                 self._inflight.put((pending, live))

@@ -223,3 +223,43 @@ def test_oversized_frame_runs_via_packing(tmp_path, rng):
                                  [1500.0, 500.0, 1900.0, 760.0]])]}
     out = model(annot)[big_path]
     assert np.all(np.isfinite(out["alphas"]))
+
+
+def test_serving_profile_geometric_shapes_same_outputs(rng):
+    """The 'serving' packing profile pads canvas/window to power-of-two
+    row counts (bounded XLA program set for ragged micro-batches) without
+    changing placements, weights, or warp outputs."""
+    import jax.numpy as jnp
+    from egonet_tpu.ops import affine, packing
+    n = 12
+    imgs = [rng.randint(0, 255, (375, 1242, 3), np.uint8) for _ in range(2)]
+    boxes = np.stack([
+        [x, y, x + w, y + h]
+        for x, y, w, h in zip(rng.uniform(0, 900, n), rng.uniform(0, 200, n),
+                              rng.uniform(60, 320, n),
+                              rng.uniform(40, 170, n))])
+    mats = affine.crop_matrices_for_boxes(boxes, (256, 256), 1.0, 1.1)
+    idx = rng.randint(0, 2, n)
+    wh = np.tile([[1242.0, 375.0]], (n, 1))
+    plans = {p: packing.plan(mats["inv"], (256, 256), wh, profile=p)
+             for p in ("transport", "serving")}
+    sp = plans["serving"]
+    assert sp.canvas_h & (sp.canvas_h - 1) == 0 or sp.canvas_h % 256 == 0
+    assert sp.window_h in (256, 512, 1024, 2048, 4096)
+    assert sp.canvas_h in (256, 512, 1024, 2048, 4096)
+    assert sp.canvas_h >= plans["transport"].canvas_h
+    np.testing.assert_array_equal(sp.x0, plans["transport"].x0)
+    np.testing.assert_array_equal(sp.slot_w, plans["transport"].slot_w)
+
+    outs = {}
+    for p, pl in plans.items():
+        canvas = packing.assemble(pl, imgs, idx)
+        outs[p] = np.asarray(affine.warp_affine_separable_windowed(
+            jnp.asarray(canvas), jnp.asarray(mats["inv"], np.float32),
+            jnp.asarray(pl.offsets), jnp.asarray(pl.win_y), (256, 256),
+            window_h=pl.window_h, bounds=jnp.asarray(pl.bounds)))
+    np.testing.assert_allclose(outs["serving"], outs["transport"],
+                               atol=1e-4)
+
+    with pytest.raises(ValueError):
+        packing.plan(mats["inv"], (256, 256), wh, profile="bogus")
