@@ -179,7 +179,7 @@ def build_e2e_dataset(root, n_images, mean_boxes_per_img, seed=0):
     return annots
 
 
-def bench_e2e(model, out_dir, epochs=3, images_per_batch=16,
+def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
               mean_boxes_per_img=6, n_images=32):
     """Pipelined decode->prep->device->txt loop; returns crops/s."""
     # frames_r3: the distribution changed in round 3 — never reuse round-2
@@ -263,10 +263,10 @@ def main():
                                           if ts["packed_batches"]
                                           >= ts["canvas_batches"]
                                           else "canvas")
-                # stats cover 10 epochs (1 warmup + 3x3 timed); e2e_crops
-                # counts the 9 timed ones
+                # stats cover 7 epochs (1 warmup + 3x2 timed); e2e_crops
+                # counts the 6 timed ones
                 extra["h2d_kb_per_crop"] = round(
-                    moved / (e2e_crops * 10 / 9) / 1e3, 1)
+                    moved / (e2e_crops * 7 / 6) / 1e3, 1)
             # On THIS rig the chip sits behind a network tunnel: measure the
             # actual H2D rate so the e2e number can be read correctly —
             # production PCIe moves the same canvas in ~2 ms.
