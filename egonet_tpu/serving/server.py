@@ -35,6 +35,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class OverloadedError(RuntimeError):
+    """Raised by submit() when the pending queue is at capacity — the
+    HTTP layer maps it to 503 so callers can back off instead of piling
+    unbounded work onto the batcher."""
+
+
 class _Request:
     """One in-flight request: an image, its boxes, and a completion event."""
 
@@ -64,12 +70,13 @@ class MicroBatcher:
 
     def __init__(self, model, max_images: int = 16, max_wait_ms: float = 10.0,
                  depth: int = 2, enlarge: float = 1.1,
-                 alpha_mode: str = "proj"):
+                 alpha_mode: str = "proj", max_queue: int = 256):
         self.model = model
         self.max_images = int(max_images)
         self.max_wait = float(max_wait_ms) / 1e3
         self.enlarge = float(enlarge)
         self.alpha_mode = alpha_mode
+        self.max_queue = int(max_queue)
         self.stats = {"requests": 0, "batches": 0, "instances": 0,
                       "empty_requests": 0}
         self._lock = threading.Condition()
@@ -93,6 +100,10 @@ class MicroBatcher:
         with self._lock:
             if self._stop:
                 raise RuntimeError("batcher stopped")
+            if len(self._queue) >= self.max_queue:
+                self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+                raise OverloadedError(
+                    f"queue full ({self.max_queue} pending)")
             self._queue.append(req)
             self.stats["requests"] += 1
             self._lock.notify_all()
@@ -256,7 +267,11 @@ class PoseServer:
                     payload = json.loads(self.rfile.read(n))
                     t0 = time.monotonic()
                     req = server._build_request(payload)
-                    server.batcher.submit(req)
+                    try:
+                        server.batcher.submit(req)
+                    except OverloadedError as exc:
+                        self._json(503, {"error": str(exc)})
+                        return
                     if not req.event.wait(timeout=server.request_timeout_s):
                         self._json(504, {"error": "inference timed out"})
                         return

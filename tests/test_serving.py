@@ -164,3 +164,28 @@ def test_warmup_compiles_common_bucket(small_model):
         assert srv.batcher.stats["batches"] >= 1
     finally:
         srv.stop()
+
+
+def test_queue_bound_rejects_overload(small_model):
+    """submit() raises OverloadedError past max_queue; HTTP maps it to
+    503 (backpressure instead of unbounded queue growth)."""
+    import numpy as np
+    from egonet_tpu.serving.server import (MicroBatcher, OverloadedError,
+                                           _Request)
+    mb = MicroBatcher(small_model, max_images=4, max_wait_ms=5000.0,
+                      max_queue=2)
+    try:
+        img = np.zeros((64, 64, 3), np.uint8)
+        k = np.eye(3)
+        reqs = [_Request(f"q{i}", img, np.asarray([[1.0, 1, 30, 30]]), k)
+                for i in range(4)]
+        # the long linger keeps arrivals IN the queue until the batch
+        # drains, so occupancy = all submissions so far: the third
+        # submit finds max_queue=2 pending and is rejected
+        mb.submit(reqs[0])
+        mb.submit(reqs[1])
+        with pytest.raises(OverloadedError):
+            mb.submit(reqs[2])
+        assert mb.stats["rejected"] == 1
+    finally:
+        mb.close()
