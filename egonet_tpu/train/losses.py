@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from egonet_tpu.constants import CR_INDICES, TARGET_CROSS_RATIO
 
@@ -168,3 +169,66 @@ def smooth_l1_loss_1d(pred: jax.Array, target: jax.Array,
                       mask: jax.Array | None = None) -> jax.Array:
     m = None if mask is None else mask[:, None]
     return masked_mean(smooth_l1(pred - target), m)
+
+
+# ---------------------------------------------------------------------------
+# Losses the reference marks DEPRECATED (function.py:230-311) — unused by any
+# shipped config, kept here as vectorized twins so nothing from the loss
+# registry is missing.  Each accepts the padding mask the fixed-shape batches
+# need; with mask=None they reduce exactly like the reference.
+
+def decoupled_smooth_l1_loss(pred: jax.Array, target: jax.Array,
+                             mask: jax.Array | None = None) -> jax.Array:
+    """Translation/rotation-balanced smooth-L1 (function.py:230-240):
+    mean smooth-L1 over the first 3 output dims plus mean over the rest."""
+    m = None if mask is None else mask[:, None]
+    loss_center = masked_mean(smooth_l1(pred[:, :3] - target[:, :3]), m)
+    loss_else = masked_mean(smooth_l1(pred[:, 3:] - target[:, 3:]), m)
+    return loss_center + loss_else
+
+
+def joints_ohkm_mse_loss(pred: jax.Array, target: jax.Array,
+                         target_weight: jax.Array | None = None,
+                         topk: int = 8,
+                         mask: jax.Array | None = None) -> jax.Array:
+    """Online hard-keypoint-mining MSE (function.py:242-285).
+
+    pred/target: [N, K, H, W]; target_weight: [N, K] (multiplied into both
+    maps before the MSE, as the reference does).  Per sample, only the
+    ``topk`` hardest joints (largest 0.5 x per-joint pixel-mean MSE)
+    contribute; the reference's per-sample Python ``torch.topk`` loop is one
+    batched ``lax.top_k``.
+    """
+    n, k = pred.shape[:2]
+    diff = pred - target
+    if target_weight is not None:
+        diff = diff * target_weight[..., None, None]
+    per_joint = 0.5 * jnp.mean(
+        (diff * diff).reshape(n, k, -1), axis=2)             # [N, K]
+    top_vals, _ = jax.lax.top_k(per_joint, topk)             # [N, topk]
+    per_sample = jnp.sum(top_vals, axis=1) / topk
+    return masked_mean(per_sample, mask)
+
+
+def wing_loss(heatmaps: jax.Array, joints_gt: jax.Array,
+              width: float = 5.0, curvature: float = 0.5,
+              image_size=(384, 288),
+              mask: jax.Array | None = None) -> jax.Array:
+    """Wing loss on soft-argmax coordinates (function.py:287-311).
+
+    heatmaps: [N, K, H, W]; joints_gt: [N, K, 2] in the same pixel units the
+    reference feeds (divided by (image_size[1], image_size[0]) like the
+    reference's in-place normalization).  Log region inside ``width``,
+    linear minus the continuity constant C outside.
+    """
+    from egonet_tpu.ops.keypoints import soft_argmax
+
+    pred, _ = soft_argmax(heatmaps)
+    scale = jnp.asarray([image_size[1], image_size[0]], heatmaps.dtype)
+    diff_abs = jnp.abs(joints_gt / scale - pred / scale)
+    c = width - width * float(np.log(1.0 + width / curvature))
+    per = jnp.where(diff_abs < width,
+                    width * jnp.log1p(diff_abs / curvature),
+                    diff_abs - c)
+    m = None if mask is None else mask[:, None, None]
+    return masked_mean(per, m)

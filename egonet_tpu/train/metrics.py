@@ -74,6 +74,53 @@ def distance_in_source_image(coords, meta, input_size=(256, 256)):
              "correct_cnt": pck, "PCK_batch": pck / cnt})
 
 
+def pixel_accuracy(heatmaps, meta, input_size=(256.0, 256.0),
+                   arg_max="hard"):
+    """Heatmap-decoded pixel distance in the source image.
+
+    Twin of the reference's deprecated ``trainer/accuracy.py:accuracy_pixel``
+    (:27-80, kept for drop-in completeness): decode heatmaps with hard or
+    soft argmax, scale to input pixels by ``input_size[0]/W_heatmap``,
+    inverse-affine each instance back to the source image, and average the
+    per-joint distances against ``meta['original_joints']``.
+
+    heatmaps: [N, K, H, W] ndarray.  Returns (avg_distance, count,
+    {'src_coord', 'joints_pred', 'max_vals'}).
+    """
+    from egonet_tpu.ops import keypoints as kp
+    import jax.numpy as jnp
+
+    hm = jnp.asarray(np.asarray(heatmaps, np.float32))
+    if arg_max == "hard":
+        pred, max_vals = kp.hard_argmax(hm)
+    elif arg_max == "soft":
+        # the reference's soft branch names a helper that does not exist
+        # (``get_max_preds_soft``); the sum-normalized numpy decoder
+        # (img_proc.py:639, ``soft_arg_max_np``) is the one its working
+        # numpy paths use, so that is the twin here
+        pred, max_vals = kp.soft_argmax_sumnorm(hm)
+    else:
+        raise ValueError(f"unknown arg_max {arg_max!r}")
+    pred = np.asarray(pred) * (float(input_size[0]) / heatmaps.shape[3])
+    centers, scales = meta["center"], meta["scale"]
+    rots = meta.get("rotation", [0.0] * len(centers))
+    joints_orig = meta["original_joints"]
+    distance_list = []
+    src_coords = []
+    for i in range(len(pred)):
+        trans_inv = affine.get_affine_transform(
+            centers[i], scales[i], rots[i],
+            (float(input_size[0]), float(input_size[1])), inv=True)
+        src = affine.affine_transform_pts(pred[i], trans_inv)
+        src_coords.append(src[None])
+        distance_list += get_distance(joints_orig[i], src)
+    cnt = len(distance_list)
+    return (sum(distance_list) / cnt, cnt,
+            {"src_coord": np.concatenate(src_coords),
+             "joints_pred": pred,
+             "max_vals": np.asarray(max_vals)})
+
+
 def rotation_errors_euler(prediction, ground_truth):
     """Per-instance |euler('xyz')| of the residual rotation after rigid
     alignment, degrees."""

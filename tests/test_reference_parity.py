@@ -354,6 +354,111 @@ def test_composite_loss_parity(rng):
     np.testing.assert_allclose(got_cr, ref_cr, rtol=1e-4, atol=1e-6)
 
 
+def test_deprecated_losses_parity(rng, monkeypatch):
+    """The reference's DEPRECATED losses (DecoupledSL1 / OHKM-MSE / Wing,
+    function.py:230-311) against their vectorized twins."""
+    import torch
+    from libs.loss import function as ref_fn
+    from egonet_tpu.train import losses
+
+    # DecoupledSL1Loss: balanced translation/rotation smooth-L1
+    pred = (rng.randn(6, 9) * 2).astype(np.float32)
+    tgt = rng.randn(6, 9).astype(np.float32)
+    ref = float(ref_fn.DecoupledSL1Loss()(torch.from_numpy(pred),
+                                          torch.from_numpy(tgt)))
+    got = float(losses.decoupled_smooth_l1_loss(jnp.asarray(pred),
+                                                jnp.asarray(tgt)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # JointsOHKMMSELoss: online hard-keypoint mining, with and without
+    # target weights
+    n, k = 4, 33
+    hm_pred = rng.rand(n, k, 16, 16).astype(np.float32)
+    hm_gt = rng.rand(n, k, 16, 16).astype(np.float32)
+    ref = float(ref_fn.JointsOHKMMSELoss(use_target_weight=False, topk=8)(
+        torch.from_numpy(hm_pred), torch.from_numpy(hm_gt), None))
+    got = float(losses.joints_ohkm_mse_loss(jnp.asarray(hm_pred),
+                                            jnp.asarray(hm_gt)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    w = rng.rand(n, k, 1).astype(np.float32)
+    ref = float(ref_fn.JointsOHKMMSELoss(use_target_weight=True, topk=5)(
+        torch.from_numpy(hm_pred), torch.from_numpy(hm_gt),
+        torch.from_numpy(w)))
+    got = float(losses.joints_ohkm_mse_loss(jnp.asarray(hm_pred),
+                                            jnp.asarray(hm_gt),
+                                            jnp.asarray(w[:, :, 0]), topk=5))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # WingLoss: the reference's soft_arg_max is CUDA-only
+    # (img_proc.py:696-700); substitute a numerically identical CPU torch
+    # version so the wing formula itself stays the oracle
+    def cpu_soft_arg_max(batch_heatmaps):
+        n_, k_, h_, w_ = batch_heatmaps.shape
+        flat = batch_heatmaps.reshape(n_, k_, -1)
+        maxvals = flat.max(dim=2)[0].reshape(n_, k_, 1)
+        probs = torch.nn.functional.softmax(flat, dim=2).reshape(
+            n_, k_, h_, w_)
+        x = (probs.sum(dim=2) * torch.arange(w_).float()).sum(
+            dim=2, keepdim=True)
+        y = (probs.sum(dim=3) * torch.arange(h_).float()).sum(
+            dim=2, keepdim=True)
+        return torch.cat([x, y], dim=2), maxvals
+
+    monkeypatch.setattr(ref_fn, "soft_arg_max", cpu_soft_arg_max)
+    joints = rng.uniform(0, 16, (n, k, 2)).astype(np.float32)
+    for width in (5.0, 0.05):   # 0.05 exercises the linear branch too
+        ref_wing = ref_fn.WingLoss(use_target_weight=False, width=width,
+                                   curvature=0.5, image_size=(64, 64))
+        ref = float(ref_wing(torch.from_numpy(hm_pred.copy()),
+                             torch.from_numpy(joints.copy()), None))
+        got = float(losses.wing_loss(jnp.asarray(hm_pred),
+                                     jnp.asarray(joints), width=width,
+                                     curvature=0.5, image_size=(64, 64)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_pixel_accuracy_parity(rng):
+    """The reference's deprecated trainer/accuracy.py:accuracy_pixel against
+    egonet_tpu.train.metrics.pixel_accuracy (hard + soft argmax decode)."""
+    from libs.trainer import accuracy as ref_acc
+    from egonet_tpu.train import metrics
+
+    n, k = 5, 33
+    heatmaps = rng.rand(n, k, 64, 64).astype(np.float32)
+    meta_np = {
+        "center": rng.uniform(100, 1000, (n, 2)).astype(np.float32),
+        "scale": rng.uniform(0.5, 3.0, (n, 2)).astype(np.float32),
+        "rotation": rng.uniform(-30, 30, n).astype(np.float32),
+        "original_joints": rng.uniform(0, 1200, (n, k, 2)).astype(np.float32),
+    }
+    import torch
+    meta_ref = {key: torch.from_numpy(val.copy())
+                for key, val in meta_np.items()}
+    # hard path: the reference function runs end-to-end on CPU
+    ref_avg, ref_cnt, ref_others = ref_acc.accuracy_pixel(
+        heatmaps.copy(), meta_ref, cfgs=None, arg_max="hard")
+    got_avg, got_cnt, got_others = metrics.pixel_accuracy(
+        heatmaps, meta_np, input_size=(256.0, 256.0), arg_max="hard")
+    assert got_cnt == ref_cnt
+    np.testing.assert_allclose(got_avg, ref_avg, rtol=1e-4)
+    np.testing.assert_allclose(got_others["src_coord"],
+                               ref_others["src_coord"], atol=1e-2)
+
+    # soft path: the reference branch names a nonexistent helper
+    # (``get_max_preds_soft``) — the working numpy decoder soft_arg_max_np
+    # (img_proc.py:639) is the oracle for the decode stage
+    from libs.common.img_proc import soft_arg_max_np
+    ref_pred, ref_maxvals = soft_arg_max_np(heatmaps.copy())
+    _, _, got_soft = metrics.pixel_accuracy(
+        heatmaps, meta_np, input_size=(256.0, 256.0), arg_max="soft")
+    np.testing.assert_allclose(got_soft["joints_pred"],
+                               ref_pred * (256.0 / 64.0), atol=1e-3)
+    np.testing.assert_allclose(got_soft["max_vals"].reshape(n, k),
+                               np.asarray(ref_maxvals).reshape(n, k),
+                               atol=1e-5)
+
+
 def _small_hm_cfg():
     from egonet_tpu.config import default_demo_config
     import copy
