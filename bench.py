@@ -52,7 +52,8 @@ def build_core_inputs(model, batch, n_img=4, seed=0):
     mats = affine.crop_matrices_for_boxes(boxes, (height, width),
                                           height / width, 1.1)
     meta = pack_meta(mats["inv"], rng.randint(0, n_img, batch),
-                     np.ones(batch), 707.0, 604.0)
+                     np.ones(batch), 707.0, 604.0,
+                     (images.shape[2], images.shape[1]))
     return (jnp.asarray(images), jnp.asarray(meta))
 
 
@@ -157,13 +158,17 @@ def build_e2e_dataset(root, n_images, mean_boxes_per_img, seed=0):
     (white noise would triple the decode cost and skew the e2e number)."""
     import cv2
     rng = np.random.RandomState(seed)
+    # frame pixels come from their own stream: they are drawn only when the
+    # PNG is not already cached on disk, and sharing the box RNG would give
+    # warm-cache re-runs a different box workload than fresh runs
+    px_rng = np.random.RandomState(seed + 1)
     os.makedirs(root, exist_ok=True)
     annots = []
     for i in range(n_images):
         path = os.path.join(root, f"{i:06d}.png")
         if not os.path.exists(path):
-            low = rng.randint(0, 255, (375 // 8, 1242 // 8, 3),
-                              dtype=np.uint8)
+            low = px_rng.randint(0, 255, (375 // 8, 1242 // 8, 3),
+                                 dtype=np.uint8)
             img = cv2.resize(low, (1242, 375),
                              interpolation=cv2.INTER_CUBIC)
             cv2.imwrite(path, img)
@@ -206,9 +211,8 @@ def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
             crops += sum(len(r["boxes"]) for r in records.values())
         return crops
 
-    run_epoch()                              # warmup: compile + page cache
+    crops_done = run_epoch()                 # warmup: compile + page cache
     best = 0.0
-    crops_done = 0
     for _ in range(3):                       # best-of-3: tunnel stalls flake
         t0 = time.perf_counter()
         total = 0
@@ -216,6 +220,8 @@ def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
             total += run_epoch()
         crops_done += total
         best = max(best, total / (time.perf_counter() - t0))
+    # crops_done counts EVERY processed crop incl. the warmup epoch, so it
+    # divides the transport byte counters exactly (no epoch-ratio coupling)
     return best, crops_done
 
 
@@ -263,10 +269,10 @@ def main():
                                           if ts["packed_batches"]
                                           >= ts["canvas_batches"]
                                           else "canvas")
-                # stats cover 7 epochs (1 warmup + 3x2 timed); e2e_crops
-                # counts the 6 timed ones
+                # transport counters and e2e_crops both cover every
+                # epoch incl. warmup — the division is exact
                 extra["h2d_kb_per_crop"] = round(
-                    moved / (e2e_crops * 7 / 6) / 1e3, 1)
+                    moved / e2e_crops / 1e3, 1)
             # On THIS rig the chip sits behind a network tunnel: measure the
             # actual H2D rate so the e2e number can be read correctly —
             # production PCIe moves the same canvas in ~2 ms.

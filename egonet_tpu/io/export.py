@@ -66,6 +66,8 @@ def export_shape_set(model, out_dir: str, buckets=(8, 16, 32, 64, 128),
                      alpha_mode: str = "proj",
                      platforms=("tpu", "cpu")) -> dict:
     """Export every bucket program + a manifest; returns the manifest."""
+    from egonet_tpu.models.egonet import META_COLS
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
         "format": "jax.export/stablehlo",
@@ -74,7 +76,7 @@ def export_shape_set(model, out_dir: str, buckets=(8, 16, 32, 64, 128),
         "n_img": n_img,
         "platforms": list(platforms),
         "call_args": "(hrnet_vars, lifter_vars, ls_stats, images, meta)",
-        "meta_cols": 18,
+        "meta_cols": META_COLS,
         "artifacts": {},
     }
     for b in buckets:

@@ -65,9 +65,13 @@ def _round_up_bucket(n: int, minimum: int = 8) -> int:
 META_COLS = 18
 
 
-def pack_meta(inv_mats, idx, valid, K_f, K_cx, img_wh=None, offsets=None):
+def pack_meta(inv_mats, idx, valid, K_f, K_cx, img_wh, offsets=None):
     """Build a fused [N, META_COLS] meta array (bench/profiling helpers —
-    the inference dispatch builds its padded variant inline)."""
+    the inference dispatch builds its padded variant inline).
+
+    ``img_wh``: source-frame (width, height), scalar pair or [N, 2] — always
+    required: add_xy models normalize their coordinate channels by it, and a
+    placeholder would produce silently wrong xy maps instead of an error."""
     n = len(inv_mats)
     meta = np.zeros((n, META_COLS), np.float32)
     meta[:, 0:6] = np.asarray(inv_mats, np.float32).reshape(n, 6)
@@ -77,7 +81,7 @@ def pack_meta(inv_mats, idx, valid, K_f, K_cx, img_wh=None, offsets=None):
     meta[:, 9] = valid
     meta[:, 10] = K_f
     meta[:, 11] = K_cx
-    meta[:, 12:14] = img_wh if img_wh is not None else 1.0
+    meta[:, 12:14] = img_wh
     return meta
 
 
@@ -253,8 +257,8 @@ class EgoNet:
         crops = (jnp.round(patches.astype(jnp.float32))
                  / 255.0 - mean) / std                      # [N, H, W, 3]
         if self.add_xy:
-            if img_wh is None:
-                raise ValueError("add_xy models need per-instance img_wh")
+            # img_wh always arrives populated: pack_meta and the inline
+            # dispatch builder both require real source-frame dims
             xy = affine.xy_maps_from_inv_mats(inv_mats, (height, width),
                                               img_wh)
             crops = jnp.concatenate([crops, xy.astype(crops.dtype)],

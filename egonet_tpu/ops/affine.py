@@ -469,8 +469,8 @@ def warp_affine_separable_windowed(canvas: jax.Array,
                                    out_hw,
                                    window_h: int,
                                    dtype=jnp.float32,
-                                   bounds: jax.Array | None = None
-                                   ) -> jax.Array:
+                                   *,
+                                   bounds: jax.Array) -> jax.Array:
     """Separable warp over a ROI-packed canvas (see ops/packing.py).
 
     canvas: [Hp, Wp, C] packed footprints; inv_mats: [N, 2, 3] the ORIGINAL
@@ -491,7 +491,10 @@ def warp_affine_separable_windowed(canvas: jax.Array,
     columns, y in window rows).  Slots hold only the IMAGE-clipped
     footprint; reads outside the source frame — zero-valued pixels in the
     full-canvas warp — become exact zero WEIGHTS here (integer
-    comparisons), so edge-hanging boxes don't ship zero margins.
+    comparisons), so edge-hanging boxes don't ship zero margins.  Required
+    (keyword-only): ``packing.plan`` always image-clips its slots, so a
+    boundless call over a packed canvas would silently sample a
+    neighboring instance's pixels wherever a box hangs off its frame.
     """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     wp = canvas.shape[1]
@@ -506,21 +509,15 @@ def warp_affine_separable_windowed(canvas: jax.Array,
                              dtype=jnp.bfloat16, offset=off[1])
         rx = _interp_weights(mat[0, 2], mat[0, 0], out_w, wp,
                              dtype=jnp.bfloat16, offset=off[0])
-        if bnd is not None:
-            cols = jnp.arange(wp, dtype=jnp.float32)
-            rows = jnp.arange(window_h, dtype=jnp.float32)
-            rx = rx * ((cols >= bnd[0]) & (cols < bnd[1]))[None].astype(
-                rx.dtype)
-            ry = ry * ((rows >= bnd[2]) & (rows < bnd[3]))[None].astype(
-                ry.dtype)
+        cols = jnp.arange(wp, dtype=jnp.float32)
+        rows = jnp.arange(window_h, dtype=jnp.float32)
+        rx = rx * ((cols >= bnd[0]) & (cols < bnd[1]))[None].astype(rx.dtype)
+        ry = ry * ((rows >= bnd[2]) & (rows < bnd[3]))[None].astype(ry.dtype)
         tmp = jnp.einsum("xw,hwc->hxc", rx, win, precision=precision,
                          preferred_element_type=dtype)
         return jnp.einsum("yh,hxc->yxc", ry, tmp, precision=precision,
                           preferred_element_type=dtype)
 
-    if bounds is None:
-        return jax.vmap(lambda m, o, w: one(m, o, w, None))(
-            inv_mats, offsets.astype(jnp.float32), win_y.astype(jnp.int32))
     return jax.vmap(one)(inv_mats, offsets.astype(jnp.float32),
                          win_y.astype(jnp.int32),
                          bounds.astype(jnp.float32))

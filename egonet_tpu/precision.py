@@ -60,7 +60,8 @@ def drift_harness(dtype_a, dtype_b, n_instances: int = 6,
         ls = {k: jnp.asarray(v) for k, v in _plausible_ls_stats().items()}
         from egonet_tpu.models.egonet import pack_meta
         meta = pack_meta(mats["inv"], np.zeros(n_instances),
-                         np.ones(n_instances), 707.0, 604.0)
+                         np.ones(n_instances), 707.0, 604.0,
+                         (images.shape[2], images.shape[1]))
         flat = np.asarray(model._get_jitted("proj")(
             model.hrnet_vars, model.lifter_vars, ls, images,
             jnp.asarray(meta)))

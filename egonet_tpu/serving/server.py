@@ -81,7 +81,6 @@ class MicroBatcher:
                       "empty_requests": 0}
         self._lock = threading.Condition()
         self._queue: list[_Request] = []
-        self._pending = None  # bounded hand-off dispatch -> finalize
         import queue
         self._inflight = queue.Queue(maxsize=max(1, int(depth)))
         self._stop = False
@@ -284,8 +283,13 @@ class PoseServer:
                         "latency_ms": round(
                             (time.monotonic() - t0) * 1e3, 2),
                     })
-                except (ValueError, KeyError) as exc:
+                except (ValueError, KeyError, IndexError,
+                        TypeError) as exc:
+                    # malformed payloads (incl. scores/boxes length
+                    # mismatches) -> 400, never a dropped connection
                     self._json(400, {"error": str(exc)})
+                except Exception as exc:  # e.g. submit() after close()
+                    self._json(500, {"error": str(exc)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

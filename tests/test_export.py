@@ -28,7 +28,8 @@ def _inputs(model, bucket, rng):
     mats = affine.crop_matrices_for_boxes(boxes, (height, width),
                                           height / width, 1.1)
     meta = pack_meta(mats["inv"], rng.randint(0, 2, bucket),
-                     np.ones(bucket), 707.0, 604.0)
+                     np.ones(bucket), 707.0, 604.0,
+                     (images.shape[2], images.shape[1]))
     ls = {k: jnp.asarray(v) for k, v in model.ls_stats.items()}
     return jnp.asarray(images), jnp.asarray(meta), ls
 
