@@ -127,12 +127,17 @@ def test_empty_boxes_and_bad_payloads(server, rng):
     for bad in ({"boxes": [[1, 2, 3, 4]]},                   # no image
                 {"image_b64": "not-base64!!", "boxes": []},
                 {"image_b64": _png_b64(rng), "boxes": [],
-                 "K": [[1, 2], [3, 4]]}):                    # bad K shape
+                 "K": [[1, 2], [3, 4]]},                     # bad K shape
+                {"image_b64": _png_b64(rng),                 # scores/boxes
+                 "boxes": [[1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12]],
+                 "scores": [0.9, 0.2],                       # length mismatch
+                 "score_threshold": 0.5}):
         req = urllib.request.Request(
             f"http://127.0.0.1:{server.port}/v1/pose",
             data=json.dumps(bad).encode())
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=30)
+        # an HTTP error body, never a dropped connection
         assert err.value.code in (400, 500)
 
 
