@@ -204,7 +204,9 @@ def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
 
     def run_epoch():
         crops = 0
-        for records in model.stream_annot_dicts(batches(), depth=2,
+        # depth swept on-rig (373.9 / 391.5 / 349.5 crops/s at 2/3/4):
+        # 3 hides one more tunnel round trip; 4 over-buffers the 1-core host
+        for records in model.stream_annot_dicts(batches(), depth=3,
                                                 enlarge=1.1,
                                                 alpha_mode="proj"):
             model.post_process(records, save_dict=save_dict)

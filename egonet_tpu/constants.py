@@ -99,6 +99,24 @@ def norm_stats(cfgs: dict | None):
             np.asarray(pth.get("std", IMAGENET_STD), np.float32))
 
 
+def crop_scale_divisor(cfgs: dict | None) -> float:
+    """Divisor applied to 0-255 crop pixels before mean/std normalization.
+
+    255.0 normally — but 1.0 when ``heatmapModel.add_xy`` is enabled,
+    reproducing a reference quirk that checkpoint compatibility depends
+    on: the reference concatenates its float32 xy maps onto the uint8
+    warp BEFORE torchvision ToTensor (img_proc.py:238-244 in training,
+    egonet.py:91-95 at inference), the concat makes the array float32,
+    and ToTensor only rescales uint8 inputs — so add_xy models are both
+    trained and run with 0-255-scale RGB through Normalize.  Its configs
+    carry the matching commented-out 5-entry mean/std
+    (KITTI_train_IGRs.yml:50-51).  Verified end-to-end by the add_xy
+    variant of tests/test_full_pipeline_differential.py.
+    """
+    hm = (cfgs or {}).get("heatmapModel") or {}
+    return 1.0 if hm.get("add_xy") else 255.0
+
+
 def compute_cr_indices() -> np.ndarray:
     """Derive CR_INDICES from the interpolation table (sanity helper).
 

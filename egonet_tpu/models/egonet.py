@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from egonet_tpu import constants
 from egonet_tpu.constants import norm_stats
 from egonet_tpu.geometry import rigid
 from egonet_tpu.models.fc_lifter import build_fc_model
@@ -253,9 +254,12 @@ class EgoNet:
         width, height = self.resolution
         mean = jnp.asarray(self.norm_mean)
         std = jnp.asarray(self.norm_std)
-        # match the reference's uint8 warp output before ToTensor()
+        # match the reference's uint8 warp output before ToTensor(); the
+        # divisor is 1.0 for add_xy models (constants.crop_scale_divisor:
+        # the reference's float32 xy concat defeats ToTensor's /255)
+        div = constants.crop_scale_divisor(self.cfgs)
         crops = (jnp.round(patches.astype(jnp.float32))
-                 / 255.0 - mean) / std                      # [N, H, W, 3]
+                 / div - mean) / std                        # [N, H, W, 3]
         if self.add_xy:
             # img_wh always arrives populated: pack_meta and the inline
             # dispatch builder both require real source-frame dims

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
 from egonet_tpu.ops import affine
+from egonet_tpu import constants
 from egonet_tpu.constants import norm_stats
 from egonet_tpu.parallel import mesh as pmesh
 from egonet_tpu.train import losses, optim
@@ -97,7 +98,16 @@ class AngleTrainer:
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
         mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
-        return (jnp.round(patches) / 255.0 - mean) / std
+        # same reference scale quirk as the IGR trainer: add_xy models
+        # train at 0-255 RGB scale (constants.crop_scale_divisor)
+        div = constants.crop_scale_divisor(self.cfgs)
+        crops = (jnp.round(patches) / div - mean) / std
+        if self.cfgs["heatmapModel"].get("add_xy"):
+            xy = affine.xy_maps_from_inv_mats(batch["inv_mats"], (h, w),
+                                              batch["img_wh"])
+            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
+                                    axis=-1)
+        return crops
 
     def _loss_fn(self, params, batch_stats, batch):
         crops = self._crops(batch)

@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from egonet_tpu import constants
 from egonet_tpu.constants import norm_stats
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
@@ -88,7 +89,10 @@ class IGRTrainer:
         mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        crops = (jnp.round(patches) / 255.0 - mean) / std
+        # divisor is 1.0 for add_xy models (reference trains them at
+        # 0-255 RGB scale — constants.crop_scale_divisor)
+        div = constants.crop_scale_divisor(self.cfgs)
+        crops = (jnp.round(patches) / div - mean) / std
         if self.cfgs["heatmapModel"].get("add_xy"):
             xy = affine.xy_maps_from_inv_mats(batch["inv_mats"], (h, w),
                                               batch["img_wh"])

@@ -69,6 +69,14 @@ def build_reference_egonet(cfgs):
 
     model = RefEgoNet(cfgs, pre_trained=True).eval()
     mean, std = norm_stats(cfgs)
+    if cfgs["heatmapModel"].get("add_xy") and len(mean) == 3:
+        # the reference concatenates the xy maps BEFORE pth_trans
+        # (egonet.py:91-95), so an add_xy run needs the 5-entry identity
+        # extension its configs keep commented out
+        # (KITTI_train_IGRs.yml:50-51: mean +[0,0], std +[1,1])
+        import numpy as np
+        mean = np.concatenate([mean, [0.0, 0.0]]).astype(np.float32)
+        std = np.concatenate([std, [1.0, 1.0]]).astype(np.float32)
     model.pth_trans = make_pth_trans(mean, std)
     model.get_keypoints = functools.partial(RefEgoNet.get_keypoints, model,
                                             is_cuda=False)

@@ -81,10 +81,14 @@ def _randomize_model(model, rng):
     }
 
 
-@pytest.fixture(scope="module")
-def world(tmp_path_factory):
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["rgb", "add_xy"])
+def world(request, tmp_path_factory):
     """Build fixture + checkpoints, run BOTH implementations, return the
-    four emitted txt directories."""
+    four emitted txt directories.  Parametrized over add_xy: the 5-channel
+    coordinate-map stem (reference egonet.py:91-93 host xy maps +
+    hrnet.py:688 modify_input_channel) vs our device-computed xy channels
+    is a distinct composition seam worth its own differential."""
     import jax
     import jax.numpy as jnp
     from egonet_tpu.config import default_demo_config
@@ -98,6 +102,7 @@ def world(tmp_path_factory):
                                               with_predictions=True,
                                               smooth=True)
     cfg = fixtures.shrink_hrnet(default_demo_config())
+    cfg["heatmapModel"]["add_xy"] = bool(request.param)
     cfg["heatmapModel"]["init_weights"] = False
     cfg["dataset"]["root"] = root
     ckpt_dir = str(tmp / "ckpt")
@@ -131,6 +136,11 @@ def world(tmp_path_factory):
 
     # --- reference path: EgoNet(pre_trained=True) + forward/post_process -
     ref_model = refutil.build_reference_egonet(cfg)
+    # guard against a trivially-passing parametrization: the reference must
+    # really have built the 5-channel coordinate-map stem when asked to
+    stem_in = next(p for n, p in ref_model.HC.named_parameters()
+                   if n == "conv1.weight").shape[1]
+    assert stem_in == (5 if request.param else 3)
     ds = kitti.get_dataset(cfg, split="valid")
     paths = [ds.paths.image_path(n) for n in ds.image_names]
 
