@@ -16,26 +16,30 @@ import numpy as np
 from egonet_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _denormalize(crops: np.ndarray, mean=None, std=None) -> np.ndarray:
+def _denormalize(crops: np.ndarray, mean=None, std=None,
+                 scale: float = 255.0) -> np.ndarray:
     """Normalized crops -> uint8 RGB.  Extra channels beyond the first 3
     (the add_xy coordinate maps) are dropped; mean/std default to the
-    ImageNet values but must follow dataset.pth_transform when set."""
+    ImageNet values but must follow dataset.pth_transform when set.
+    ``scale`` is the divisor the pipeline applied before normalizing
+    (constants.crop_scale_divisor: 1.0 under add_xy, else 255.0)."""
     crops = np.asarray(crops)[..., :3]
     mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
     std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
     img = crops * std + mean
-    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    return np.clip(img * scale, 0, 255).astype(np.uint8)
 
 
 def save_batch_image_with_joints(crops, joints, joints_vis, path,
                                  nrow: int = 8, radius: int = 2,
-                                 norm_stats=None):
+                                 norm_stats=None, scale: float = 255.0):
     """Grid of crops with joint dots burned in.
 
     crops: [N, H, W, 3+] normalized; joints: [N, K, 2] local pixel coords.
     """
     import cv2
-    imgs = _denormalize(np.asarray(crops), *(norm_stats or (None, None)))
+    imgs = _denormalize(np.asarray(crops), *(norm_stats or (None, None)),
+                        scale=scale)
     n, h, w = imgs.shape[:3]
     ncol = min(nrow, n)
     nr = math.ceil(n / ncol)
@@ -54,10 +58,12 @@ def save_batch_image_with_joints(crops, joints, joints_vis, path,
     return path
 
 
-def save_batch_heatmaps(crops, heatmaps, path, norm_stats=None):
+def save_batch_heatmaps(crops, heatmaps, path, norm_stats=None,
+                        scale: float = 255.0):
     """Per-instance row: [resized crop | per-joint colorized heatmaps]."""
     import cv2
-    imgs = _denormalize(np.asarray(crops), *(norm_stats or (None, None)))
+    imgs = _denormalize(np.asarray(crops), *(norm_stats or (None, None)),
+                        scale=scale)
     hms = np.asarray(heatmaps)
     n, k, hh, hw = hms.shape
     rows = []
@@ -85,24 +91,25 @@ def save_debug_images(cfgs, crops, joints_gt, joints_pred, targets,
     debug = cfgs.get("training_settings", {}).get("debug", {})
     if not debug.get("save", False):
         return []
-    from egonet_tpu.constants import norm_stats
+    from egonet_tpu.constants import crop_scale_divisor, norm_stats
     stats = norm_stats(cfgs)
+    scale = crop_scale_divisor(cfgs)   # 1.0 under add_xy (0-255 crops)
     written = []
     if debug.get("save_images_kpts", False) and joints_pred is not None:
         written.append(save_batch_image_with_joints(
             crops, joints_pred, None, f"{prefix}_pred.jpg",
-            norm_stats=stats))
+            norm_stats=stats, scale=scale))
         if joints_gt is not None:
             written.append(save_batch_image_with_joints(
                 crops, joints_gt[..., :2],
                 joints_gt[..., 2] if joints_gt.shape[-1] > 2 else None,
-                f"{prefix}_gt.jpg", norm_stats=stats))
+                f"{prefix}_gt.jpg", norm_stats=stats, scale=scale))
     if debug.get("save_hms_gt", False) and targets is not None:
         written.append(save_batch_heatmaps(crops, targets,
                                            f"{prefix}_hm_gt.jpg",
-                                           norm_stats=stats))
+                                           norm_stats=stats, scale=scale))
     if debug.get("save_hms_pred", False) and outputs is not None:
         written.append(save_batch_heatmaps(crops, outputs,
                                            f"{prefix}_hm_pred.jpg",
-                                           norm_stats=stats))
+                                           norm_stats=stats, scale=scale))
     return written
