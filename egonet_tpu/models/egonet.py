@@ -30,7 +30,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egonet_tpu import constants
 from egonet_tpu.constants import norm_stats
 from egonet_tpu.geometry import rigid
 from egonet_tpu.models.fc_lifter import build_fc_model
@@ -252,21 +251,11 @@ class EgoNet:
               K_f, K_cx, img_wh, alpha_mode: str):
         """Post-warp body shared by the canvas and packed front halves."""
         width, height = self.resolution
-        mean = jnp.asarray(self.norm_mean)
-        std = jnp.asarray(self.norm_std)
-        # match the reference's uint8 warp output before ToTensor(); the
-        # divisor is 1.0 for add_xy models (constants.crop_scale_divisor:
-        # the reference's float32 xy concat defeats ToTensor's /255)
-        div = constants.crop_scale_divisor(self.cfgs)
-        crops = (jnp.round(patches.astype(jnp.float32))
-                 / div - mean) / std                        # [N, H, W, 3]
-        if self.add_xy:
-            # img_wh always arrives populated: pack_meta and the inline
-            # dispatch builder both require real source-frame dims
-            xy = affine.xy_maps_from_inv_mats(inv_mats, (height, width),
-                                              img_wh)
-            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
-                                    axis=-1)                # [N, H, W, 5]
+        # round / crop_scale_divisor / mean-std / add_xy concat — shared
+        # with both trainers (img_wh always arrives populated: pack_meta
+        # and the inline dispatch builder both require source-frame dims)
+        crops = affine.normalize_crop_patches(
+            self.cfgs, patches, inv_mats, img_wh, (height, width))
 
         _maps, coords = self.hrnet.apply(hrnet_vars, crops, train=False)
         local = coords * jnp.asarray([width, height], jnp.float32)

@@ -575,6 +575,56 @@ def xy_maps_from_inv_mats(inv_mats: jax.Array, out_hw,
     return jnp.concatenate([x_map, y_map], axis=-1)
 
 
+def normalize_crop_patches(cfgs: dict, patches: jax.Array,
+                           inv_mats: jax.Array | None,
+                           img_wh: jax.Array | None, out_hw) -> jax.Array:
+    """Warp output -> model input: round, scale, mean/std-normalize, and
+    (for ``add_xy`` models) concatenate the xy coordinate channels.
+
+    ONE implementation shared by the fused inference tail
+    (models/egonet._tail), the IGR trainer and the angle trainer — the
+    reference's checkpoint-compatibility quirks live here so the call
+    sites can never drift:
+
+      * ``constants.crop_scale_divisor``: add_xy models run 0-255-scale
+        RGB through Normalize (the reference's float32 xy concat defeats
+        ToTensor's /255 — spec egonet.py:91-95, img_proc.py:238-244);
+      * ``dataset.pth_transform`` stats may carry 3 entries (RGB) or,
+        with add_xy, the 5-entry RGB+xy set the reference configs keep
+        commented out (KITTI_train_IGRs.yml:50-51): entries 3:5 normalize
+        the coordinate channels after the concat, exactly like
+        torchvision Normalize over the reference's 5-channel tensor.
+
+    patches: [N, H, W, 3] warp output (any float dtype, 0-255 scale).
+    inv_mats / img_wh are only read for add_xy models (required then).
+    """
+    from egonet_tpu import constants
+    add_xy = bool(((cfgs or {}).get("heatmapModel") or {}).get("add_xy"))
+    mean, std = constants.norm_stats(cfgs)
+    if len(mean) != len(std):
+        raise ValueError(
+            f"pth_transform mean/std length mismatch: {len(mean)} vs "
+            f"{len(std)}")
+    if len(mean) not in (3, 5) or (len(mean) == 5 and not add_xy):
+        raise ValueError(
+            f"pth_transform stats have {len(mean)} entries; expected 3, "
+            "or 5 with heatmapModel.add_xy enabled")
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+    div = constants.crop_scale_divisor(cfgs)
+    crops = (jnp.round(patches.astype(jnp.float32))
+             / div - mean[:3]) / std[:3]                    # [N, H, W, 3]
+    if add_xy:
+        if inv_mats is None or img_wh is None:
+            raise ValueError("add_xy models need inv_mats and img_wh")
+        xy = xy_maps_from_inv_mats(inv_mats, out_hw, img_wh)
+        if len(mean) == 5:
+            xy = (xy - mean[3:]) / std[3:]
+        crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
+                                axis=-1)                    # [N, H, W, 5]
+    return crops
+
+
 def batched_affine_transform(pts: jax.Array, mats: jax.Array) -> jax.Array:
     """Apply per-instance [2,3] affines to [N, K, 2] points on device.
 

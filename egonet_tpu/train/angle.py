@@ -20,8 +20,6 @@ import jax.numpy as jnp
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
 from egonet_tpu.ops import affine
-from egonet_tpu import constants
-from egonet_tpu.constants import norm_stats
 from egonet_tpu.parallel import mesh as pmesh
 from egonet_tpu.train import losses, optim
 from egonet_tpu.train.metrics import get_angle_error
@@ -81,8 +79,11 @@ class AngleTrainer:
     def init_state(self, rng_seed: int = 0) -> TrainState:
         from egonet_tpu.models.initialization import numpy_init
         w, h = self.input_size
+        # conv1's input-channel dim is inferred from this sample: add_xy
+        # models take 5-channel crops (RGB + xy coordinate maps)
+        in_ch = 5 if self.cfgs["heatmapModel"].get("add_xy") else 3
         variables = numpy_init(self.model, rng_seed,
-                               jnp.zeros((1, h, w, 3)))
+                               jnp.zeros((1, h, w, in_ch)))
         state = TrainState(variables["params"],
                            variables.get("batch_stats", {}),
                            self.tx.init(variables["params"]),
@@ -97,17 +98,9 @@ class AngleTrainer:
         w, h = self.input_size
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
-        # same reference scale quirk as the IGR trainer: add_xy models
-        # train at 0-255 RGB scale (constants.crop_scale_divisor)
-        div = constants.crop_scale_divisor(self.cfgs)
-        crops = (jnp.round(patches) / div - mean) / std
-        if self.cfgs["heatmapModel"].get("add_xy"):
-            xy = affine.xy_maps_from_inv_mats(batch["inv_mats"], (h, w),
-                                              batch["img_wh"])
-            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
-                                    axis=-1)
-        return crops
+        return affine.normalize_crop_patches(
+            self.cfgs, patches, batch["inv_mats"], batch.get("img_wh"),
+            (h, w))
 
     def _loss_fn(self, params, batch_stats, batch):
         crops = self._crops(batch)

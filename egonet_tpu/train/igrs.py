@@ -22,8 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egonet_tpu import constants
-from egonet_tpu.constants import norm_stats
 from egonet_tpu.data.loader import IGRBatchLoader
 from egonet_tpu.models.hrnet import build_hrnet
 from egonet_tpu.ops import affine
@@ -86,19 +84,11 @@ class IGRTrainer:
         """Device-side warp + normalize of all instances in the batch
         (+ the xy coordinate channels for add_xy 5-channel models)."""
         w, h = self.input_size
-        mean, std = (jnp.asarray(s) for s in norm_stats(self.cfgs))
         patches = affine.warp_affine_separable(
             batch["images"], batch["inv_mats"], batch["img_idx"], (h, w))
-        # divisor is 1.0 for add_xy models (reference trains them at
-        # 0-255 RGB scale — constants.crop_scale_divisor)
-        div = constants.crop_scale_divisor(self.cfgs)
-        crops = (jnp.round(patches) / div - mean) / std
-        if self.cfgs["heatmapModel"].get("add_xy"):
-            xy = affine.xy_maps_from_inv_mats(batch["inv_mats"], (h, w),
-                                              batch["img_wh"])
-            crops = jnp.concatenate([crops, xy.astype(crops.dtype)],
-                                    axis=-1)
-        return crops
+        return affine.normalize_crop_patches(
+            self.cfgs, patches, batch["inv_mats"], batch.get("img_wh"),
+            (h, w))
 
     def _loss_fn(self, params, batch_stats, batch, apply_cr):
         crops = self._crops_from_batch(batch)

@@ -26,7 +26,9 @@ def _denormalize(crops: np.ndarray, mean=None, std=None,
     crops = np.asarray(crops)[..., :3]
     mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
     std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
-    img = crops * std + mean
+    # 5-entry pth_transform stats (the reference add_xy recipe) carry xy
+    # entries the RGB channels must not see
+    img = crops * std[:3] + mean[:3]
     return np.clip(img * scale, 0, 255).astype(np.uint8)
 
 

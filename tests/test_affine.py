@@ -199,3 +199,57 @@ def test_xy_maps_match_host_generate_xy_map():
         host = affine.generate_xy_map(mats["bbox_resize"][i],
                                       (width, height), (g_h, g_w))
         np.testing.assert_allclose(dev[i], host, atol=2e-5)
+
+
+def test_normalize_crop_patches_five_entry_stats():
+    """The shared crop normalizer accepts the reference's 5-entry add_xy
+    pth_transform stats (KITTI_train_IGRs.yml:50-51): entries 0:3
+    normalize RGB at the 0-255 add_xy scale, entries 3:5 normalize the xy
+    coordinate channels after the concat — exactly torchvision Normalize
+    over the reference's 5-channel tensor."""
+    import jax.numpy as jnp
+    from egonet_tpu.ops import affine
+    rng = np.random.RandomState(3)
+    n, h, w = 4, 8, 8
+    patches = rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32)
+    boxes = np.stack([rng.uniform(0, 60, n), rng.uniform(0, 30, n),
+                      rng.uniform(70, 120, n), rng.uniform(40, 90, n)],
+                     axis=1)
+    mats = affine.crop_matrices_for_boxes(boxes, (h, w), h / w, 1.1)
+    inv = jnp.asarray(mats["inv"].astype(np.float32))
+    img_wh = jnp.asarray(np.tile([[128.0, 96.0]], (n, 1)), jnp.float32)
+    mean = [0.485, 0.456, 0.406, 0.05, -0.02]
+    std = [0.229, 0.224, 0.225, 0.9, 1.1]
+    cfgs = {"heatmapModel": {"add_xy": True},
+            "dataset": {"pth_transform": {"mean": mean, "std": std}}}
+
+    got = np.asarray(affine.normalize_crop_patches(
+        cfgs, jnp.asarray(patches), inv, img_wh, (h, w)))
+
+    xy = np.asarray(affine.xy_maps_from_inv_mats(inv, (h, w), img_wh))
+    five = np.concatenate([np.round(patches), xy], axis=-1)  # div = 1.0
+    want = (five - np.asarray(mean, np.float32)) \
+        / np.asarray(std, np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # 3-entry stats with add_xy: xy channels pass through unnormalized
+    cfgs3 = {"heatmapModel": {"add_xy": True},
+             "dataset": {"pth_transform": {"mean": mean[:3],
+                                           "std": std[:3]}}}
+    got3 = np.asarray(affine.normalize_crop_patches(
+        cfgs3, jnp.asarray(patches), inv, img_wh, (h, w)))
+    np.testing.assert_allclose(got3[..., 3:], xy, atol=1e-6)
+    np.testing.assert_allclose(got3[..., :3], want[..., :3], atol=1e-5)
+
+    # invalid stat shapes fail loudly, not via broadcasting
+    import pytest
+    with pytest.raises(ValueError, match="5 entries"):
+        affine.normalize_crop_patches(
+            {"heatmapModel": {},
+             "dataset": {"pth_transform": {"mean": mean, "std": std}}},
+            jnp.asarray(patches), inv, img_wh, (h, w))
+    with pytest.raises(ValueError, match="length mismatch"):
+        affine.normalize_crop_patches(
+            {"heatmapModel": {"add_xy": True},
+             "dataset": {"pth_transform": {"mean": mean, "std": std[:3]}}},
+            jnp.asarray(patches), inv, img_wh, (h, w))

@@ -65,11 +65,15 @@ def test_visualization_debug(tmp_path, rng):
     assert len(written) == 3
 
 
-def test_angle_trainer_step(kitti_root):
+@pytest.mark.parametrize("add_xy", [False, True], ids=["rgb", "add_xy"])
+def test_angle_trainer_step(kitti_root, add_xy):
     from egonet_tpu.train.angle import AngleTrainer, AngleBatchLoader
     cfg = small_train_cfg(kitti_root)
     cfg["exp_type"] = "baselinetheta"
     cfg["heatmapModel"]["head_type"] = "angleregression"
+    # the reference's baseline configs support add_xy too: init_state must
+    # build a 5-channel conv1 for the xy-concatenated crops
+    cfg["heatmapModel"]["add_xy"] = add_xy
     ds = kitti.KITTIDataset(cfg, "train")
     trainer = AngleTrainer(cfg)
     loader = AngleBatchLoader(ds.records, cfg, train=True, angle_index=1)

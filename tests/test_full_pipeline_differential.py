@@ -103,6 +103,16 @@ def world(request, tmp_path_factory):
                                               smooth=True)
     cfg = fixtures.shrink_hrnet(default_demo_config())
     cfg["heatmapModel"]["add_xy"] = bool(request.param)
+    if request.param:
+        # the add_xy recipe's 5-entry pth_transform stats
+        # (KITTI_train_IGRs.yml:50-51 keeps the identity xy extension
+        # commented out) — made NON-identity here so the differential
+        # proves both sides normalize the coordinate channels, not just
+        # the RGB ones (reference: torchvision Normalize over the
+        # 5-channel concat; ours: affine.normalize_crop_patches)
+        cfg["dataset"]["pth_transform"] = {
+            "mean": [0.485, 0.456, 0.406, 0.05, -0.02],
+            "std": [0.229, 0.224, 0.225, 0.9, 1.1]}
     cfg["heatmapModel"]["init_weights"] = False
     cfg["dataset"]["root"] = root
     ckpt_dir = str(tmp / "ckpt")

@@ -137,8 +137,9 @@ def test_empty_boxes_and_bad_payloads(server, rng):
             data=json.dumps(bad).encode())
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=30)
-        # an HTTP error body, never a dropped connection
-        assert err.value.code in (400, 500)
+        # the documented malformed-payload contract: a 400 body, never a
+        # dropped connection and never a masked 500
+        assert err.value.code == 400
 
 
 def test_score_threshold_filters_boxes(server, rng):
