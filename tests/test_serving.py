@@ -172,6 +172,55 @@ def test_warmup_compiles_common_bucket(small_model):
         srv.stop()
 
 
+def test_mesh_sharded_serving_matches_single_device(small_model, rng):
+    """tools/serve.py --devices N: a server whose model shards each
+    micro-batch's instance axis over an 8-device data mesh returns the
+    same predictions as the single-device server — the serving twin of
+    the sharded-vs-single inference parity in dryrun_multichip.  Also
+    exercises the serving packing profile under a mesh (replicated packed
+    canvas, batch-sharded meta with the bucket rounded to tile the
+    axis)."""
+    import cv2
+    from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.parallel import mesh as pmesh
+    from egonet_tpu.serving import PoseServer
+
+    mesh = pmesh.make_mesh(8)
+    sharded = EgoNet(small_model.cfgs, pre_trained=False, mesh=mesh)
+    # identical weights: serving parity, not init parity
+    sharded.hrnet_vars = small_model.hrnet_vars
+    sharded.lifter_vars = small_model.lifter_vars
+    sharded.ls_stats = small_model.ls_stats
+    sharded.to_device()
+
+    img = rng.randint(0, 255, (100, 140, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    payload = {
+        "image_b64": base64.b64encode(buf.tobytes()).decode(),
+        # 3 boxes: does not divide the 8-device mesh
+        "boxes": [[12.0, 8.0, 90.0, 70.0], [30.0, 20.0, 120.0, 88.0],
+                  [5.0, 30.0, 70.0, 95.0]],
+        "K": [[700.0, 0, 70.0], [0, 700.0, 50.0], [0, 0, 1.0]],
+    }
+    srv_m = PoseServer(sharded, port=0, max_images=4,
+                       max_wait_ms=5.0).start()
+    srv_1 = PoseServer(small_model, port=0, max_images=4,
+                       max_wait_ms=5.0).start()
+    try:
+        got_m = _post(srv_m.port, payload)["instances"]
+        got_1 = _post(srv_1.port, payload)["instances"]
+    finally:
+        srv_m.stop()
+        srv_1.stop()
+    assert len(got_m) == len(got_1) == 3
+    for a, b in zip(got_m, got_1):
+        assert a["alpha"] == pytest.approx(b["alpha"], abs=1e-4)
+        assert a["rot_y"] == pytest.approx(b["rot_y"], abs=1e-4)
+        np.testing.assert_allclose(np.asarray(a["kpts_3d"]),
+                                   np.asarray(b["kpts_3d"]), atol=1e-3)
+
+
 def test_queue_bound_rejects_overload(small_model):
     """submit() raises OverloadedError past max_queue; HTTP maps it to
     503 (backpressure instead of unbounded queue growth)."""

@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--warmup", type=int, default=1,
                         help="1: compile the common bucket at boot so the "
                              "first request doesn't pay XLA compile")
+    parser.add_argument("--devices", type=int, default=1,
+                        help="shard each micro-batch's instance axis over "
+                             "the first N chips (1-D data mesh; params and "
+                             "packed canvases replicate, XLA runs the "
+                             "collectives over ICI)")
     args = parser.parse_args(argv)
 
     import logging
@@ -51,7 +56,17 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     logger = logging.getLogger("egonet-serve")
-    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", False))
+    # same precision policy as the batch CLI (tools/inference.py:154):
+    # bf16 with fp32 islands unless the config opts out
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfgs.get("bf16", True) else jnp.float32
+    mesh = None
+    if args.devices > 1:
+        from egonet_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(args.devices)
+        logger.info("sharding micro-batches over %d devices", args.devices)
+    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", False),
+                   dtype=dtype, mesh=mesh)
 
     server = PoseServer(model, host=args.host, port=args.port,
                         max_images=args.max_batch,
