@@ -426,6 +426,14 @@ class EgoNet:
         # on a mesh the bucket must additionally tile the data axis — round
         # ONCE here so every per-instance array is padded in one place
         bucket = _round_up_bucket(n_total)
+        if pack_profile == "serving":
+            # shape discipline over latency polish: ragged micro-batches
+            # otherwise walk the whole bucket ladder (8..128), and each
+            # novel (bucket, canvas) pair is a minutes-long XLA compile on
+            # a cold server.  One 128-floor bucket costs ~50 ms of padded
+            # device compute per small batch — noise next to the
+            # per-request transport — and collapses the program set.
+            bucket = max(bucket, 128)
         if self.mesh is not None:
             nd = self.mesh.devices.size
             bucket = ((bucket + nd - 1) // nd) * nd

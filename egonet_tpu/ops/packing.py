@@ -44,21 +44,26 @@ import numpy as np
 #     rows at the 2048 width, ~7% average overhead).  A fixed batch-size
 #     workload settles on 2-3 programs.
 #   "serving" (egonet_tpu/serving): geometric (power-of-two) height
-#     levels and a coarser width set.  Request-driven micro-batches are
-#     RAGGED — content-proportional 256-row height levels multiply into
-#     dozens of one-off XLA programs (minutes of compile each); geometric
-#     levels bound the whole shape set to a handful at the cost of up to
-#     ~2x zero rows per canvas, the right trade on a PCIe host where the
-#     extra bytes are microseconds.
+#     levels from a 512-row base and a coarser width set.  Request-driven
+#     micro-batches are RAGGED — content-proportional 256-row height
+#     levels multiply into dozens of one-off XLA programs (minutes of
+#     compile each); geometric levels bound the whole shape set to a
+#     handful at the cost of up to ~2x zero rows per canvas, the right
+#     trade on a PCIe host where the extra bytes are microseconds.  The
+#     512 base + 2048-min width collapse the small-batch end (measured
+#     on-rig: with 256-base/1024-width the load benchmark still compiled
+#     novel shapes three settle passes in); the companion lever is the
+#     serving instance-bucket floor in models/egonet.dispatch_annot_dict.
 _W_BUCKETS = (256, 512, 1024, 2048, 4096)
-_W_BUCKETS_SERVING = (1024, 2048, 4096)
+_W_BUCKETS_SERVING = (2048, 4096)
 _H_QUANT = 256
+_H_BASE_SERVING = 512
 
 
 def _quantize_h(h: int, profile: str) -> int:
     h = int(-(-h // _H_QUANT) * _H_QUANT)           # next 256 multiple
     if profile == "serving":
-        level = _H_QUANT
+        level = _H_BASE_SERVING
         while level < h:
             level *= 2
         return level

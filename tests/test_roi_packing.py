@@ -244,12 +244,16 @@ def test_serving_profile_geometric_shapes_same_outputs(rng):
     plans = {p: packing.plan(mats["inv"], (256, 256), wh, profile=p)
              for p in ("transport", "serving")}
     sp = plans["serving"]
-    assert sp.canvas_h & (sp.canvas_h - 1) == 0 or sp.canvas_h % 256 == 0
-    assert sp.window_h in (256, 512, 1024, 2048, 4096)
-    assert sp.canvas_h in (256, 512, 1024, 2048, 4096)
-    assert sp.canvas_h >= plans["transport"].canvas_h
-    np.testing.assert_array_equal(sp.x0, plans["transport"].x0)
+    # the serving discipline: geometric heights from the 512 base, widths
+    # from the coarse (2048, 4096) set — a handful of possible shapes
+    assert sp.window_h in (512, 1024, 2048, 4096)
+    assert sp.canvas_h in (512, 1024, 2048, 4096)
+    assert sp.canvas_w in (2048, 4096)
+    # slots (footprints) are profile-invariant; PLACEMENT repacks per
+    # canvas width, so only the warp outputs — each slot is
+    # self-contained — are required to agree below
     np.testing.assert_array_equal(sp.slot_w, plans["transport"].slot_w)
+    np.testing.assert_array_equal(sp.slot_h, plans["transport"].slot_h)
 
     outs = {}
     for p, pl in plans.items():
