@@ -391,7 +391,13 @@ class EgoNet:
                                 profile=pack_profile)
         use_pack = False
         if plan is not None:
-            if self.pack_mode == "always":
+            if self.pack_mode == "always" or pack_profile == "serving":
+                # serving: shape discipline beats the byte comparison —
+                # canvas-mode programs are keyed by n_img, so a 1-2-image
+                # micro-batch falling back to canvas (its packed canvas
+                # minimum is bigger than 1-2 frames) would compile a fresh
+                # program per ragged image count, the exact stall the
+                # serving profile exists to prevent
                 use_pack = True
             else:
                 oversize = any(im.shape[0] > canvas_hw[0]

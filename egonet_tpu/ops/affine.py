@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egonet_tpu.constants import SIZE
+from egonet_tpu.constants import SIZE, crop_scale_divisor, norm_stats
 
 
 # ---------------------------------------------------------------------------
@@ -598,9 +598,8 @@ def normalize_crop_patches(cfgs: dict, patches: jax.Array,
     patches: [N, H, W, 3] warp output (any float dtype, 0-255 scale).
     inv_mats / img_wh are only read for add_xy models (required then).
     """
-    from egonet_tpu import constants
     add_xy = bool(((cfgs or {}).get("heatmapModel") or {}).get("add_xy"))
-    mean, std = constants.norm_stats(cfgs)
+    mean, std = norm_stats(cfgs)
     if len(mean) != len(std):
         raise ValueError(
             f"pth_transform mean/std length mismatch: {len(mean)} vs "
@@ -611,7 +610,7 @@ def normalize_crop_patches(cfgs: dict, patches: jax.Array,
             "or 5 with heatmapModel.add_xy enabled")
     mean = jnp.asarray(mean)
     std = jnp.asarray(std)
-    div = constants.crop_scale_divisor(cfgs)
+    div = crop_scale_divisor(cfgs)
     crops = (jnp.round(patches.astype(jnp.float32))
              / div - mean[:3]) / std[:3]                    # [N, H, W, 3]
     if add_xy:

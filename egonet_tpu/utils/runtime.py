@@ -43,3 +43,13 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache"):
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def config_dtype(cfgs: dict | None):
+    """The compute dtype the config asks for: bf16 with fp32 islands
+    unless ``bf16: false``.  ONE interpretation (including the
+    default-True) shared by every entry point — tools/inference.py,
+    tools/serve.py, tools/bench_serve.py — so batch and serving paths can
+    never run different precisions for the same YAML."""
+    import jax.numpy as jnp
+    return jnp.bfloat16 if (cfgs or {}).get("bf16", True) else jnp.float32

@@ -225,6 +225,26 @@ def test_mesh_sharded_serving_matches_single_device(small_model, rng):
                                    np.asarray(b["kpts_3d"]), atol=1e-3)
 
 
+def test_serving_profile_never_falls_back_to_canvas(small_model, rng):
+    """A 1-image serving micro-batch stays on the packed path even though
+    its packed canvas minimum (512x2048 rows) exceeds the frame's bytes:
+    canvas-mode program shapes are keyed by n_img, so the byte-driven
+    fallback would compile a fresh program per ragged image count — the
+    compile stall the serving profile exists to prevent."""
+    before = dict(small_model.transport_stats)
+    img = rng.randint(0, 255, (100, 140, 3), np.uint8)
+    annot = {"path": ["p"], "images": [img],
+             "boxes": [np.asarray([[10.0, 10.0, 70.0, 60.0]])],
+             "K": [np.eye(3)]}
+    pending = small_model.dispatch_annot_dict(annot, pack_profile="serving")
+    rec = small_model.finalize(pending)["p"]
+    assert np.isfinite(np.asarray(rec["alphas"])).all()
+    assert (small_model.transport_stats["packed_batches"]
+            == before["packed_batches"] + 1)
+    assert (small_model.transport_stats["canvas_batches"]
+            == before["canvas_batches"])
+
+
 def test_queue_bound_rejects_overload(small_model):
     """submit() raises OverloadedError past max_queue; HTTP maps it to
     503 (backpressure instead of unbounded queue growth)."""

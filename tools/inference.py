@@ -150,8 +150,8 @@ def main(argv=None):
     shutil.copyfile(cfgs["config_path"],
                     os.path.join(final_output_dir, "saved_config.yml"))
 
-    import jax.numpy as jnp
-    dtype = jnp.bfloat16 if cfgs.get("bf16", True) else jnp.float32
+    from egonet_tpu.utils.runtime import config_dtype
+    dtype = config_dtype(cfgs)
 
     split = cfgs["dataset"]["split"]
     dataset = libkitti.get_dataset(cfgs, logger, split)

@@ -56,17 +56,22 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     logger = logging.getLogger("egonet-serve")
-    # same precision policy as the batch CLI (tools/inference.py:154):
-    # bf16 with fp32 islands unless the config opts out
-    import jax.numpy as jnp
-    dtype = jnp.bfloat16 if cfgs.get("bf16", True) else jnp.float32
+    from egonet_tpu.utils.runtime import config_dtype
     mesh = None
     if args.devices > 1:
+        import jax
         from egonet_tpu.parallel import mesh as pmesh
+        avail = len(jax.devices())
+        if args.devices > avail:
+            parser.error(f"--devices {args.devices} requested but only "
+                         f"{avail} device(s) visible")
         mesh = pmesh.make_mesh(args.devices)
-        logger.info("sharding micro-batches over %d devices", args.devices)
-    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", False),
-                   dtype=dtype, mesh=mesh)
+        logger.info("sharding micro-batches over %d devices",
+                    mesh.devices.size)
+    # same checkpoint + precision policy as the batch CLI
+    # (tools/inference.py): checkpoints load unless the config opts out
+    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", True),
+                   dtype=config_dtype(cfgs), mesh=mesh)
 
     server = PoseServer(model, host=args.host, port=args.port,
                         max_images=args.max_batch,
