@@ -21,6 +21,11 @@ import numpy as np
 
 
 def _to_numpy(v):
+    """Zero-copy when possible: CPU torch tensors convert to numpy VIEWS of
+    the live torch storage (intended for the load-then-discard checkpoint
+    path, where it avoids doubling W48-sized state in memory).  Callers that
+    keep the source torch module alive and mutate it afterwards (e.g. a
+    torch optimizer step in a differential test) must copy the result."""
     if isinstance(v, np.ndarray):
         return v
     # torch tensor (avoid importing torch unless necessary)

@@ -30,18 +30,25 @@ class FCModel(nn.Module):
     def _act(self, x):
         return nn.leaky_relu(x) if self.leaky else nn.relu(x)
 
+    @property
+    def _stat_dtype(self):
+        return jnp.promote_types(jnp.float32, self.dtype)
+
     def _dense(self, x, features, name):
         import jax
-        precision = (jax.lax.Precision.HIGHEST
-                     if self.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
+        precision = (jax.lax.Precision.DEFAULT
+                     if self.dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
         return nn.Dense(features, dtype=self.dtype, precision=precision,
                         param_dtype=jnp.float32, name=name)(x)
 
     def _bn(self, x, name, train):
+        # two-pass batch variance: see models/hrnet.py _bn — the fast
+        # one-pass variance loses ~3 digits of train-mode gradient accuracy
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name=name)(x)
+                         epsilon=1e-5, dtype=self._stat_dtype,
+                         param_dtype=jnp.float32, use_fast_variance=False,
+                         name=name)(x)
         return y.astype(self.dtype)
 
     @nn.compact
@@ -68,7 +75,7 @@ class FCModel(nn.Module):
             z = nn.Dropout(self.p_dropout, deterministic=not drop)(z)
             y = y + z
         out = self._dense(y, self.output_size, "w2")
-        return out.astype(jnp.float32)
+        return out.astype(self._stat_dtype)
 
 
 def build_fc_model(cfgs: dict, dtype=jnp.float32) -> FCModel:

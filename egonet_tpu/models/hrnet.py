@@ -114,10 +114,16 @@ class PoseHighResolutionNet(nn.Module):
 
     @property
     def _precision(self):
-        # fp32 runs want true fp32 math (the platform default is bf16);
-        # bf16 runs use the native MXU path.
-        return (jax.lax.Precision.HIGHEST
-                if self.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        # fp32/fp64 runs want true full-precision math (the platform default
+        # is bf16); bf16 runs use the native MXU path.
+        return (jax.lax.Precision.DEFAULT
+                if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
+
+    @property
+    def _stat_dtype(self):
+        # BN statistics / head outputs: fp32 for fp32+bf16 compute, fp64
+        # when the model itself runs in fp64 (exact training differentials)
+        return jnp.promote_types(jnp.float32, self.dtype)
 
     def _conv(self, x, out_ch, k, stride, name, padding=None, use_bias=False):
         if padding is None:
@@ -130,10 +136,18 @@ class PoseHighResolutionNet(nn.Module):
 
     def _bn(self, x, name, train):
         # BN statistics and affine run in fp32 regardless of compute dtype.
+        # use_fast_variance=False: the one-pass E[x^2]-E[x]^2 batch variance
+        # cancels catastrophically on post-ReLU activations (mean >> std),
+        # costing ~3 digits of GRADIENT accuracy per train-mode BN layer
+        # (measured: 2e-3 relative input-grad error vs 5e-7 two-pass);
+        # compounded over the stack it moved full-model gradients by ~5%.
+        # Two-pass variance matches torch's train-mode numerics and only
+        # runs when batch statistics are computed (never in inference).
         y = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - BN_MOMENTUM_TORCH,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name=name)(x)
+                         epsilon=1e-5, dtype=self._stat_dtype,
+                         param_dtype=jnp.float32, use_fast_variance=False,
+                         name=name)(x)
         return y.astype(self.dtype)
 
     def _transport(self, x):
@@ -295,10 +309,10 @@ class PoseHighResolutionNet(nn.Module):
         h = nn.Conv(2 * k, ks, padding="VALID", use_bias=True,
                     dtype=self.dtype, precision=self._precision,
                     param_dtype=jnp.float32, name="head2.4")(h)
-        coords = nn.sigmoid(h.astype(jnp.float32))
+        coords = nn.sigmoid(h.astype(self._stat_dtype))
         coords = coords.reshape(coords.shape[0], -1, 2)           # [N, K, 2]
         # maps stay NHWC internally; expose NCHW to mirror the torch contract
-        return maps.astype(jnp.float32).transpose(0, 3, 1, 2), coords
+        return maps.astype(self._stat_dtype).transpose(0, 3, 1, 2), coords
 
     def _heatmap_head(self, y0, train):
         k = self.num_joints
@@ -313,7 +327,7 @@ class PoseHighResolutionNet(nn.Module):
             x = self._bn(x, "upsample_layer.1", train)
             x = nn.relu(x)
             x = _pixel_shuffle(x, r)
-        return x.astype(jnp.float32).transpose(0, 3, 1, 2)
+        return x.astype(self._stat_dtype).transpose(0, 3, 1, 2)
 
     def _angle_head(self, y0, train):
         ch = 256
@@ -324,14 +338,15 @@ class PoseHighResolutionNet(nn.Module):
         # the reference AvgPool2d(4) assumes the remaining 4x4 map (input
         # 256); global mean is identical there and well-defined elsewhere
         h = jnp.mean(h, axis=(1, 2))
-        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
-        h = nn.Dense(256, dtype=jnp.float32,
+        h = h.reshape(h.shape[0], -1).astype(self._stat_dtype)
+        h = nn.Dense(256, dtype=self._stat_dtype,
                      precision=jax.lax.Precision.HIGHEST, name="final_fc.0")(h)
         h = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - BN_MOMENTUM_TORCH, epsilon=1e-5,
-                         dtype=jnp.float32, name="final_fc.1")(h)
+                         dtype=self._stat_dtype, use_fast_variance=False,
+                         name="final_fc.1")(h)
         h = nn.relu(h)
-        return nn.Dense(2, dtype=jnp.float32,
+        return nn.Dense(2, dtype=self._stat_dtype,
                         precision=jax.lax.Precision.HIGHEST,
                         name="final_fc.3")(h)
 

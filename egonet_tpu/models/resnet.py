@@ -39,8 +39,12 @@ class PoseResNet(nn.Module):
     def _precision(self):
         # fp32 runs want true fp32 math (the platform default is bf16) —
         # same convention as hrnet._precision / fc_lifter
-        return (jax.lax.Precision.HIGHEST
-                if self.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        return (jax.lax.Precision.DEFAULT
+                if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
+
+    @property
+    def _stat_dtype(self):
+        return jnp.promote_types(jnp.float32, self.dtype)
 
     def _conv(self, x, out_ch, k, stride, name, padding=None, use_bias=False):
         if padding is None:
@@ -52,9 +56,12 @@ class PoseResNet(nn.Module):
                        param_dtype=jnp.float32, name=name)(x)
 
     def _bn(self, x, name, train):
+        # two-pass batch variance: see models/hrnet.py _bn — the fast
+        # one-pass variance loses ~3 digits of train-mode gradient accuracy
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name=name)(x)
+                         epsilon=1e-5, dtype=self._stat_dtype,
+                         param_dtype=jnp.float32, use_fast_variance=False,
+                         name=name)(x)
         return y.astype(self.dtype)
 
     def _basic(self, x, planes, stride, prefix, train):
@@ -124,7 +131,7 @@ class PoseResNet(nn.Module):
         fk = self.final_conv_kernel
         x = self._conv(x, self.num_joints, fk, 1, "final_layer",
                        padding=1 if fk == 3 else 0, use_bias=True)
-        return x.astype(jnp.float32).transpose(0, 3, 1, 2)
+        return x.astype(self._stat_dtype).transpose(0, 3, 1, 2)
 
 
 def build_pose_resnet(cfgs: dict, dtype=jnp.float32) -> PoseResNet:
