@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from egonet_tpu.constants import norm_stats
 from egonet_tpu.geometry import rigid
 from egonet_tpu.models.fc_lifter import build_fc_model
-from egonet_tpu.models.hrnet import build_hrnet
+from egonet_tpu.models.factory import build_heatmap_model
 from egonet_tpu.ops import affine
 from egonet_tpu.io import torch_convert
 
@@ -114,7 +114,7 @@ class EgoNet:
         if self.pack_mode not in ("auto", "never", "always"):
             raise ValueError(f"roi_packing must be auto/never/always, "
                              f"got {self.pack_mode!r}")
-        self.hrnet = build_hrnet(cfgs, dtype=dtype)
+        self.hrnet = build_heatmap_model(cfgs, dtype=dtype)
         self.lifter = build_fc_model(cfgs, dtype=dtype)
 
         width, height = self.resolution

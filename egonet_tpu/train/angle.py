@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from egonet_tpu.data.loader import IGRBatchLoader
-from egonet_tpu.models.hrnet import build_hrnet
+from egonet_tpu.models.factory import build_heatmap_model
 from egonet_tpu.ops import affine
 from egonet_tpu.parallel import mesh as pmesh
 from egonet_tpu.train import losses, optim
@@ -69,7 +69,7 @@ class AngleTrainer:
         self.cfgs = cfgs
         self.mesh = mesh
         self.logger = logger
-        self.model = build_hrnet(cfgs, dtype=dtype)
+        self.model = build_heatmap_model(cfgs, dtype=dtype)
         self.input_size = tuple(cfgs["heatmapModel"]["input_size"])
         self.tx, self.schedule = optim.prepare_optim(cfgs, steps_per_epoch)
         self._train_step = None

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from egonet_tpu.data.loader import IGRBatchLoader
-from egonet_tpu.models.hrnet import build_hrnet
+from egonet_tpu.models.factory import build_heatmap_model
 from egonet_tpu.ops import affine
 from egonet_tpu.ops.keypoints import gaussian_targets
 from egonet_tpu.parallel import mesh as pmesh
@@ -44,7 +44,7 @@ class IGRTrainer:
         self.mesh = mesh
         self.dtype = dtype
         self.logger = logger
-        self.model = build_hrnet(cfgs, dtype=dtype)
+        self.model = build_heatmap_model(cfgs, dtype=dtype)
         self.loss_cfg = losses.CompositeLossConfig(cfgs)
         hm = cfgs["heatmapModel"]
         self.input_size = tuple(hm["input_size"])           # (w, h)

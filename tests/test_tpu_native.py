@@ -1,0 +1,224 @@
+"""PoseNetTPU (the TPU-native model family, models/tpu_native.py): head
+contract, factory dispatch, drop-in behavior in the trainer and the fused
+EgoNet pipeline, and checkpoint interchange.
+
+No reference counterpart exists for this model; these tests pin the
+CONTRACT it shares with hrnet (so every consumer stays model-agnostic)
+rather than any torch parity.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from egonet_tpu.config import default_demo_config, load_config
+from egonet_tpu.data import kitti
+from egonet_tpu.models.factory import build_heatmap_model
+from egonet_tpu.models.initialization import numpy_init
+from tests import fixtures
+
+
+def native_cfg():
+    return fixtures.shrink_tpu_native(default_demo_config())
+
+
+def _init(model, in_ch=3, size=64):
+    return numpy_init(model, 0, jnp.zeros((1, size, size, in_ch)))
+
+
+def test_factory_dispatch():
+    from egonet_tpu.models.hrnet import PoseHighResolutionNet
+    from egonet_tpu.models.resnet import PoseResNet
+    from egonet_tpu.models.tpu_native import PoseNetTPU
+    cfg = default_demo_config()
+    assert isinstance(build_heatmap_model(cfg), PoseHighResolutionNet)
+    cfg["heatmapModel"]["name"] = "tpu_native"
+    cfg["heatmapModel"]["extra"] = {}
+    assert isinstance(build_heatmap_model(cfg), PoseNetTPU)
+    cfg["heatmapModel"]["name"] = "resnet"
+    cfg["heatmapModel"]["extra"] = {"num_layers": 18,
+                                    "num_deconv_layers": 2,
+                                    "num_deconv_filters": [16, 16],
+                                    "num_deconv_kernels": [4, 4],
+                                    "final_conv_kernel": 1,
+                                    "deconv_with_bias": False}
+    assert isinstance(build_heatmap_model(cfg), PoseResNet)
+    cfg["heatmapModel"]["name"] = "nope"
+    with pytest.raises(NotImplementedError):
+        build_heatmap_model(cfg)
+
+
+def test_head_contract_shapes():
+    cfg = native_cfg()
+    k = cfg["heatmapModel"]["num_joints"]
+    for head, check in (
+        ("coordinates", lambda o: (o[0].shape == (2, k, 16, 16)
+                                   and o[1].shape == (2, k, 2))),
+        ("heatmap", lambda o: o.shape == (2, k, 16, 16)),
+        ("angleregression", lambda o: o.shape == (2, 2)),
+    ):
+        cfg["heatmapModel"]["head_type"] = head
+        model = build_heatmap_model(cfg)
+        v = _init(model)
+        out = model.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+        assert check(out), head
+        # train mode mutates batch_stats and keeps the same output contract
+        out2, st = model.apply(v, jnp.ones((2, 64, 64, 3)) * 0.3,
+                               train=True, mutable=["batch_stats"])
+        assert "batch_stats" in st
+        assert check(out2), f"{head} (train)"
+
+
+def test_coords_bounded_and_finite():
+    cfg = native_cfg()
+    model = build_heatmap_model(cfg)
+    v = _init(model)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32))
+    maps, coords = model.apply(v, x, train=False)
+    coords = np.asarray(coords)
+    assert np.all(np.isfinite(np.asarray(maps)))
+    assert np.all((coords >= 0) & (coords <= 1)), "sigmoid contract"
+
+
+def test_add_xy_five_channels():
+    cfg = native_cfg()
+    cfg["heatmapModel"]["add_xy"] = True
+    model = build_heatmap_model(cfg)
+    assert model.in_channels == 5
+    v = _init(model, in_ch=5)
+    maps, coords = model.apply(v, jnp.zeros((2, 64, 64, 5)), train=False)
+    assert coords.shape == (2, cfg["heatmapModel"]["num_joints"], 2)
+
+
+def test_bf16_policy_matches_fp32_closely():
+    """bf16 compute returns fp32 outputs near the fp32 run (same policy
+    budget as the hrnet precision tests)."""
+    cfg = native_cfg()
+    m32 = build_heatmap_model(cfg, dtype=jnp.float32)
+    m16 = build_heatmap_model(cfg, dtype=jnp.bfloat16)
+    v = _init(m32)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    maps32, c32 = m32.apply(v, x, train=False)
+    maps16, c16 = m16.apply(v, x, train=False)
+    assert maps16.dtype == jnp.float32 and c16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.05)
+
+
+def test_torch_interchange_roundtrip():
+    """flax -> torch-style state_dict -> flax is the identity, including
+    the depthwise conv kernels ([3,3,1,C] <-> [C,1,3,3]) and shortcut
+    convs this family introduces."""
+    from egonet_tpu.io import torch_convert as tc
+    cfg = native_cfg()
+    model = build_heatmap_model(cfg)
+    v = _init(model)
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    named = tc.flax_to_torch(variables)
+    assert any(".dw." in k or k.endswith(".dw.weight") for k in named), \
+        sorted(named)[:5]
+    back = tc.torch_to_flax(named)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert set(map(str, flat_a)) == set(map(str, flat_b))
+    for path, val in flat_a.items():
+        np.testing.assert_array_equal(np.asarray(val),
+                                      np.asarray(flat_b[path]), str(path))
+
+
+def _train_cfg(root):
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    cfg = load_config(os.path.join(here, "KITTI_tpu_native.yml"))
+    cfg["dataset"]["root"] = root
+    fixtures.shrink_tpu_native(cfg)
+    cfg["training_settings"]["batch_size"] = 1
+    cfg["training_settings"]["total_epochs"] = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("native")
+    root, pred_dir = fixtures.make_kitti_root(tmp, n_images=2,
+                                              with_predictions=True)
+    return root, pred_dir
+
+
+def test_igr_trainer_steps_native_model(kitti_root):
+    """The shipped training config drives IGRTrainer with the native
+    backbone: finite decreasing-capable loss, parameters move."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    from egonet_tpu.data.loader import IGRBatchLoader
+    root, _ = kitti_root
+    cfg = _train_cfg(root)
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    loader = IGRBatchLoader(ds.records, cfg, train=True)
+    batch = next(loader.epoch())
+    state = trainer.init_state(0)
+    before = [np.asarray(p).copy() for p in
+              jax.tree_util.tree_leaves(state.params)]
+    losses = []
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch, apply_cr=False)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+    after = [np.asarray(p) for p in jax.tree_util.tree_leaves(state.params)]
+    assert any(np.abs(b - a).max() > 0 for b, a in zip(before, after))
+
+
+def test_egonet_pipeline_native_backbone(kitti_root):
+    """The fused EgoNet program accepts the native backbone unchanged:
+    full forward on the synthetic fixture produces the standard record
+    structure with finite angles."""
+    from egonet_tpu.models.egonet import EgoNet
+    root, _ = kitti_root
+    cfg = fixtures.shrink_tpu_native(default_demo_config())
+    cfg["dataset"]["root"] = root
+    model = EgoNet(cfg, pre_trained=False)
+    ds = kitti.get_dataset(cfg, split="valid")
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]]}
+    records = model(annot)
+    out = records[path]
+    n = len(rec["bbox_2d"])
+    assert len(out["kpts_2d_pred"]) == n
+    assert out["kpts_3d_pred"].shape == (n, 32, 3)
+    assert out["euler_angles"].shape == (n, 3)
+    assert np.all(np.isfinite(out["euler_angles"]))
+    assert np.all(np.abs(out["alphas"]) <= np.pi + 1e-6)
+
+
+def test_native_sharded_matches_single(kitti_root):
+    """The native model crosses the 8-device CPU mesh: sharded fused
+    inference matches the single-device run."""
+    from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.parallel import mesh as pmesh
+    root, _ = kitti_root
+    cfg = fixtures.shrink_tpu_native(default_demo_config())
+    cfg["dataset"]["root"] = root
+    ds = kitti.get_dataset(cfg, split="valid")
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]],
+             "raw_txt_format": [rec["raw_txt_format"]]}
+    single = EgoNet(cfg, pre_trained=False, rng_seed=7)(annot)[path]
+    mesh = pmesh.make_mesh()
+    sharded = EgoNet(cfg, pre_trained=False, rng_seed=7,
+                     mesh=mesh)(annot)[path]
+    np.testing.assert_allclose(sharded["euler_angles"],
+                               single["euler_angles"], atol=1e-4)
+    # random-weight lifted points reach O(1e3); allow fp32 reduction-order
+    # noise across the mesh (relative 1e-5)
+    np.testing.assert_allclose(sharded["kpts_3d_pred"],
+                               single["kpts_3d_pred"], rtol=1e-5, atol=1e-3)
