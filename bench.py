@@ -258,6 +258,30 @@ def main():
             # MFU only for the bf16 run: an f32 run mixes bf16-pass matmul
             # emulation whose peak differs, so the ratio would mislead
             extra["mfu"] = round((flops / step_dt) / V5E_BF16_PEAK_FLOPS, 4)
+    if os.environ.get("BENCH_NATIVE", "1") == "1":
+        # the TPU-native model family (models/tpu_native.py): same fused
+        # pipeline, MXU-width MBConv backbone — reported alongside the
+        # W48 headline so the architecture win is measured, not claimed
+        try:
+            import copy as _copy
+            ncfg = _copy.deepcopy(cfgs)
+            ncfg["heatmapModel"]["name"] = "tpu_native"
+            ncfg["heatmapModel"]["extra"] = {}
+            native = EgoNet(ncfg, pre_trained=False, dtype=dtype)
+            n_cps, n_sync, n_flops, n_dt = bench_core(native, batch,
+                                                      iters, warmup)
+            extra["tpu_native_crops_per_sec"] = round(n_cps, 1)
+            extra["tpu_native_vs_value"] = round(n_cps / crops_per_sec, 2)
+            if n_flops:
+                extra["tpu_native_flops_per_crop"] = round(
+                    n_flops / batch / 1e9, 2)
+                if dtype == jnp.bfloat16:
+                    extra["tpu_native_mfu"] = round(
+                        (n_flops / n_dt) / V5E_BF16_PEAK_FLOPS, 4)
+            del native
+        except Exception as exc:                      # never break the bench
+            extra["tpu_native_error"] = str(exc)[:200]
+
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
             model.transport_stats = {k: 0 for k in model.transport_stats}

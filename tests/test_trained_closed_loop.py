@@ -12,6 +12,10 @@ crop->HC->lifter->Kabsch->alpha pipeline, KITTI emission, the evaluation
 protocol — must cooperate for the final number to be high.  It mirrors the
 reference's de-facto golden-metric test (SURVEY §4.1; reference
 tools/inference.py:269-283).
+
+Parametrized over the heatmap backbone: the reference-parity HRNet AND
+the TPU-native PoseNetTPU family (models/tpu_native.py) both have to
+clear the same AOS bar — run one with ``-k hrnet`` / ``-k tpu_native``.
 """
 
 import importlib.util
@@ -45,8 +49,16 @@ def _load_our_cli():
     return mod
 
 
-@pytest.fixture(scope="module")
-def trained_world(tmp_path_factory):
+def _shrink_backbone(cfg, backbone):
+    """Apply the tiny-model config for the parametrized backbone family."""
+    if backbone == "hrnet":
+        return fixtures.shrink_hrnet(cfg)
+    return fixtures.shrink_tpu_native(cfg, depths=(1, 1, 2),
+                                      widths=(16, 32, 64))
+
+
+@pytest.fixture(scope="module", params=["hrnet", "tpu_native"])
+def trained_world(request, tmp_path_factory):
     import jax
     from egonet_tpu.config import load_config
     from egonet_tpu.data import kitti
@@ -68,7 +80,7 @@ def trained_world(tmp_path_factory):
     # --- stage 2: train the heatmap model on the drawn keypoints ---------
     cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
     cfg["dataset"]["root"] = root
-    fixtures.shrink_hrnet(cfg)
+    _shrink_backbone(cfg, request.param)
     cfg["heatmapModel"]["pretrained"] = ""
     # training crops aligned with the submission crop chain (1.2 x 1.1 ==
     # one 1.32x enlargement; the aspect fix commutes with scaling), with
@@ -125,7 +137,7 @@ def trained_world(tmp_path_factory):
     # --- the product path: inference CLI with the trained checkpoints ----
     icfg = load_config(os.path.join(here, "KITTI_inference_demo.yml"))
     icfg["dataset"]["root"] = root
-    fixtures.shrink_hrnet(icfg)
+    _shrink_backbone(icfg, request.param)
     icfg["heatmapModel"]["init_weights"] = False
     icfg["FCModel"] = dict(lcfg["FCModel"])
     icfg["dirs"] = {"output": str(tmp / "out"), "ckpt": ck,
