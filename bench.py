@@ -237,6 +237,9 @@ def main():
     cfgs = default_demo_config()
     if os.environ.get("BENCH_ACT_QUANT"):
         cfgs["heatmapModel"]["act_quant"] = os.environ["BENCH_ACT_QUANT"]
+    if os.environ.get("BENCH_FUSE_MERGE"):
+        cfgs["heatmapModel"]["fuse_merge"] = (
+            os.environ["BENCH_FUSE_MERGE"] == "1")
     # 384 is the measured single-chip sweet spot (3x128 MXU-aligned padded
     # batch; >=416 falls off a VMEM cliff)
     batch = int(os.environ.get("BENCH_BATCH", "384"))

@@ -79,6 +79,22 @@ def _upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
     return jnp.repeat(x, factor, axis=2)
 
 
+class _ConvKernel(nn.Module):
+    """Declares an ``nn.Conv``-compatible kernel parameter (same name,
+    shape, param dtype and initializer) WITHOUT running the convolution,
+    so several same-geometry convs reading one tensor can be computed in a
+    single merged pass (see ``PoseHighResolutionNet.fuse_merge``).  The
+    parameter tree is identical to the unmerged model's, so checkpoints
+    and the torch converter are unaffected."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 def _pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
     """NHWC pixel shuffle matching torch nn.PixelShuffle channel ordering."""
     n, h, w, crr = x.shape
@@ -109,6 +125,14 @@ class PoseHighResolutionNet(nn.Module):
     # so an asymmetric [0, act_quant_scale] -> [0, 255] code is used.
     act_quant: str = "none"
     act_quant_scale: float = 8.0
+    # merge same-geometry sibling convs that read one tensor (the first
+    # stride-2 conv of every fuse-layer downsample chain, the fuse-layer
+    # 1x1 up-convs, and layer1 block-0's conv1/downsample pair) into one
+    # wider conv + split: one pass over the big branch activations instead
+    # of one per destination, and a fuller MXU output-column dimension.
+    # Same math per output channel (the contraction axes are unchanged)
+    # and the SAME parameter tree — a pure program-shape flag.
+    fuse_merge: bool = False
 
     # ---------------- primitive layers ----------------
 
@@ -165,6 +189,30 @@ class PoseHighResolutionNet(nn.Module):
         return (q.astype(self.dtype)
                 * jnp.asarray(1.0 / inv_step, self.dtype))
 
+    def _merged_convs(self, x, k, stride, specs):
+        """One conv pass computing several same-geometry convs (equal
+        kernel size / stride / input, different weights).  ``specs`` is a
+        list of (nn.Conv-compatible module name, out_channels); kernels
+        are declared under those names (identical parameter tree to
+        separate ``nn.Conv`` calls), concatenated along the output-channel
+        axis, applied once, and split back."""
+        in_ch = x.shape[-1]
+        kers = [_ConvKernel((k, k, in_ch, out_ch), name=name)()
+                for name, out_ch in specs]
+        merged = jnp.concatenate([w.astype(self.dtype) for w in kers],
+                                 axis=-1)
+        pad = (k - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), merged, (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self._precision)
+        outs, ofs = [], 0
+        for _, out_ch in specs:
+            outs.append(y[..., ofs:ofs + out_ch])
+            ofs += out_ch
+        return outs
+
     # ---------------- blocks ----------------
 
     def _basic_block(self, x, planes, stride, prefix, train,
@@ -185,8 +233,18 @@ class PoseHighResolutionNet(nn.Module):
     def _bottleneck(self, x, planes, stride, prefix, train):
         expansion = 4
         in_ch = x.shape[-1]
-        residual = x
-        y = self._conv(x, planes, 1, 1, f"{prefix}.conv1", padding=0)
+        need_ds = stride != 1 or in_ch != planes * expansion
+        if self.fuse_merge and need_ds and stride == 1:
+            # conv1 and downsample.0 are both 1x1 stride-1 reads of x:
+            # compute them in one pass (fuse_merge)
+            y, residual = self._merged_convs(
+                x, 1, 1, [(f"{prefix}.conv1", planes),
+                          (f"{prefix}.downsample.0", planes * expansion)])
+        else:
+            y = self._conv(x, planes, 1, 1, f"{prefix}.conv1", padding=0)
+            residual = (self._conv(x, planes * expansion, 1, stride,
+                                   f"{prefix}.downsample.0", padding=0)
+                        if need_ds else x)
         y = self._bn(y, f"{prefix}.bn1", train)
         y = nn.relu(y)
         y = self._conv(y, planes, 3, stride, f"{prefix}.conv2")
@@ -194,9 +252,7 @@ class PoseHighResolutionNet(nn.Module):
         y = nn.relu(y)
         y = self._conv(y, planes * expansion, 1, 1, f"{prefix}.conv3", padding=0)
         y = self._bn(y, f"{prefix}.bn3", train)
-        if stride != 1 or in_ch != planes * expansion:
-            residual = self._conv(x, planes * expansion, 1, stride,
-                                  f"{prefix}.downsample.0", padding=0)
+        if need_ds:
             residual = self._bn(residual, f"{prefix}.downsample.1", train)
         return self._transport(nn.relu(y + residual))
 
@@ -247,6 +303,32 @@ class PoseHighResolutionNet(nn.Module):
             return ys
         # fuse
         out_count = nb if multi_scale_output else 1
+        d0, u0 = {}, {}
+        if self.fuse_merge:
+            # fuse_merge: group the convs that read ys[j] — the FIRST
+            # stride-2 conv of every downsample chain out of branch j and
+            # the 1x1 up-convs out of branch j — into one pass per group
+            for j in range(nb):
+                down = list(range(j + 1, out_count))
+                if down:
+                    outs = self._merged_convs(
+                        ys[j], 3, 2,
+                        [(f"{prefix}.fuse_layers.{i}.{j}.0.0",
+                          ys[i].shape[-1] if i == j + 1 else ys[j].shape[-1])
+                         for i in down])
+                    for i, t in zip(down, outs):
+                        t = self._bn(t, f"{prefix}.fuse_layers.{i}.{j}.0.1",
+                                     train)
+                        d0[(i, j)] = t if i == j + 1 else nn.relu(t)
+                up = list(range(min(j, out_count)))
+                if up:
+                    outs = self._merged_convs(
+                        ys[j], 1, 1,
+                        [(f"{prefix}.fuse_layers.{i}.{j}.0",
+                          ys[i].shape[-1]) for i in up])
+                    for i, t in zip(up, outs):
+                        u0[(i, j)] = self._bn(
+                            t, f"{prefix}.fuse_layers.{i}.{j}.1", train)
         fused = []
         for i in range(out_count):
             acc = None
@@ -254,8 +336,8 @@ class PoseHighResolutionNet(nn.Module):
                 if j == i:
                     t = ys[j]
                 else:
-                    t = ys[j]
-                    for k in range(i - j):
+                    t = d0[(i, j)] if self.fuse_merge else ys[j]
+                    for k in range(1 if self.fuse_merge else 0, i - j):
                         last = (k == i - j - 1)
                         out_ch = ys[i].shape[-1] if last else ys[j].shape[-1]
                         t = self._conv(t, out_ch, 3, 2,
@@ -271,9 +353,13 @@ class PoseHighResolutionNet(nn.Module):
             # tensor instead of one per branch (exact same result)
             up_acc = None
             for j in range(nb - 1, i, -1):
-                t = self._conv(ys[j], ys[i].shape[-1], 1, 1,
-                               f"{prefix}.fuse_layers.{i}.{j}.0", padding=0)
-                t = self._bn(t, f"{prefix}.fuse_layers.{i}.{j}.1", train)
+                if self.fuse_merge:
+                    t = u0[(i, j)]
+                else:
+                    t = self._conv(ys[j], ys[i].shape[-1], 1, 1,
+                                   f"{prefix}.fuse_layers.{i}.{j}.0",
+                                   padding=0)
+                    t = self._bn(t, f"{prefix}.fuse_layers.{i}.{j}.1", train)
                 up_acc = t if up_acc is None else _upsample_nearest(up_acc,
                                                                    2) + t
             if up_acc is not None:
@@ -409,4 +495,5 @@ def build_hrnet(cfgs: dict, dtype=jnp.float32) -> PoseHighResolutionNet:
         dtype=dtype,
         act_quant=str(hm.get("act_quant", "none")),
         act_quant_scale=float(hm.get("act_quant_scale", 8.0)),
+        fuse_merge=bool(hm.get("fuse_merge", False)),
     )

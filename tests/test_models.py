@@ -113,6 +113,41 @@ def test_conv_bn_matches_torch(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_hrnet_fuse_merge_parity(hrnet_small_cfg):
+    """fuse_merge is a pure program-shape flag: identical parameter tree
+    (same names, shapes, init values) and matching outputs in eval AND
+    train mode (incl. batch-stats updates) with shared parameters."""
+    import copy
+    merged_cfg = copy.deepcopy(hrnet_small_cfg)
+    merged_cfg["heatmapModel"]["fuse_merge"] = True
+    m0 = build_hrnet(hrnet_small_cfg)
+    m1 = build_hrnet(merged_cfg)
+    assert not m0.fuse_merge and m1.fuse_merge
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    jnp.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    p0 = jax.tree_util.tree_leaves_with_path(dict(v0))
+    p1 = jax.tree_util.tree_leaves_with_path(dict(v1))
+    assert [k for k, _ in p0] == [k for k, _ in p1]
+    for (k, a), (_, b) in zip(p0, p1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+
+    maps0, c0 = m0.apply(v0, x)
+    maps1, c1 = m1.apply(v0, x)          # merged program, SAME params
+    np.testing.assert_allclose(np.asarray(maps0), np.asarray(maps1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+
+    (o0, _), s0 = m0.apply(v0, x, train=True, mutable=["batch_stats"])
+    (o1, _), s1 = m1.apply(v0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_full_hrnet_w48_param_count(demo_cfg):
     """The full W48 'coordinates' model initializes with a plausible size."""
     model = build_hrnet(demo_cfg)
