@@ -476,6 +476,15 @@ class EgoNet:
         kw = {"window_h": plan.window_h} if use_pack else {}
         out = self._get_jitted(alpha_mode, packed=use_pack)(
             self.hrnet_vars, self.lifter_vars, ls, *dev_args, **kw)
+        try:
+            # start the device->host copy of the fused output as soon as the
+            # compute finishes: with `depth` batches in flight the D2H
+            # round trip overlaps younger batches' prep/compute instead of
+            # serializing finalize() (measured 0.39 s/batch on this rig's
+            # tunnel, the e2e bottleneck once transport was packed)
+            out.copy_to_host_async()
+        except Exception:
+            pass                      # platform without async host copies
         ctx = dict(annot_dict=annot_dict, paths=paths,
                    per_image_counts=per_image_counts, centers=centers,
                    scales=scales, rbs=rbs)
