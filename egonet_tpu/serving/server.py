@@ -111,7 +111,9 @@ class MicroBatcher:
         with self._lock:
             self._stop = True
             self._lock.notify_all()
-        self._inflight.put(None)
+        # The dispatch loop emits the inflight sentinel itself AFTER
+        # draining any queued batches; enqueuing one here would jump
+        # ahead of in-flight work and strand those requests' events.
         for t in self._threads:
             t.join(timeout=5.0)
 
@@ -302,7 +304,11 @@ class PoseServer:
             import cv2
             buf = np.frombuffer(base64.b64decode(payload["image_b64"]),
                                 np.uint8)
-            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            # IMREAD_IGNORE_ORIENTATION matches load_image's flags so an
+            # EXIF-rotated JPEG decodes identically via either endpoint
+            # (client boxes are in stored-pixel space on both).
+            img = cv2.imdecode(
+                buf, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
             if img is None:
                 raise ValueError("image_b64 did not decode")
             img = img[:, :, ::-1].copy()            # BGR -> RGB, like load_image

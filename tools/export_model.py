@@ -32,9 +32,11 @@ def main(argv=None):
     from egonet_tpu import config as cfg_mod
     from egonet_tpu.io import export as export_mod
     from egonet_tpu.models.egonet import EgoNet
+    from egonet_tpu.utils.runtime import config_dtype
 
     cfgs = cfg_mod.load_config(args.cfg)
-    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", False))
+    model = EgoNet(cfgs, pre_trained=cfgs.get("pre_trained", False),
+                   dtype=config_dtype(cfgs))
     manifest = export_mod.export_shape_set(
         model, args.out,
         buckets=tuple(int(b) for b in args.buckets.split(",")),
