@@ -13,11 +13,15 @@ architectural:
   512->2048).  The MXU runs them at full column occupancy.
 * **Spatial mixing is depthwise 3x3** — O(C) work on the VPU, negligible
   FLOPs, no MXU underfill.  This is the inverted-bottleneck (MBConv)
-  block: pw-expand 4x -> dw 3x3 -> pw-project, BN+ReLU, residual.
-* **Resolution drops fast**: one stride-4 stem (256 -> 64), then stages at
-  64^2x128, 32^2x256, 16^2x512 — the 64^2 stage that dominates W48's
-  runtime carries 128 channels here, and most depth sits at 16^2x512
-  where the MXU measures ~70% of peak.
+  block: pw-expand -> dw 3x3 -> pw-project, BN+ReLU, residual.
+* **Resolution drops fast, and so does expansion where HBM rules**: one
+  stride-4 stem (256 -> 64), then stages at 64^2x128 / 32^2x256 /
+  16^2x512 with per-stage expansion (2, 3, 4).  The 64^2 stage is
+  HBM-bound at any expansion (arithmetic intensity ~80 FLOP/B vs the
+  ~240 FLOP/B v5e ridge), so it is shallow (1 block) and lean (2x
+  expand); most depth and the full 4x expand sit at 16^2x512 where the
+  MXU measures ~75% of peak (profiled depth/expansion sweep in
+  docs/performance.md).
 * **A pixel-shuffle FPN decoder** returns to stride 4 for the heatmap
   grid: 1x1 lateral matmuls (512->1024, 256->512) + channel-to-space,
   fused top-down with one MBConv blend per level — no transposed convs,
@@ -52,9 +56,17 @@ BN_MOMENTUM = 0.9
 class PoseNetTPU(nn.Module):
     """MBConv backbone + pixel-shuffle FPN + EgoNet heads."""
 
-    depths: tuple = (3, 3, 9)           # blocks per stage
+    depths: tuple = (1, 3, 9)           # blocks per stage (most depth at
+                                        # 16^2 where measured MXU util is
+                                        # ~75%; the 64^2 stage is HBM-bound
+                                        # so it stays shallow)
     widths: tuple = (128, 256, 512)     # channels per stage (x128 multiples)
-    expansion: int = 4                  # pw hidden = width * expansion
+    expansion: Any = (2, 3, 4)          # pw hidden = width * expansion;
+                                        # int (uniform) or per-stage tuple —
+                                        # the 64^2 stage is HBM-bound (AI ~80
+                                        # FLOP/B vs the ~240 v5e ridge), so a
+                                        # leaner expand there cuts traffic
+                                        # where FLOPs are not the limit
     num_joints: int = 33
     head_type: str = "coordinates"
     heatmap_size: tuple = (64, 64)      # (width, height) — config order
@@ -109,11 +121,18 @@ class PoseNetTPU(nn.Module):
 
     # ---------------- blocks ----------------
 
-    def _mbconv(self, x, width, prefix, train, stride=1):
+    def _expansion_for(self, stage: int) -> int:
+        if isinstance(self.expansion, (tuple, list)):
+            return int(self.expansion[min(stage, len(self.expansion) - 1)])
+        return int(self.expansion)
+
+    def _mbconv(self, x, width, prefix, train, stride=1, stage=None):
         """Inverted bottleneck: 1x1 expand -> dw 3x3 -> 1x1 project, with
         BN+ReLU between and a ReLU'd residual sum.  The two pointwise convs
         carry ~99% of the FLOPs and are full-width MXU matmuls."""
-        hidden = width * self.expansion
+        exp = (self._expansion_for(stage) if stage is not None
+               else self._expansion_for(len(self.depths) - 1))
+        hidden = width * exp
         in_ch = x.shape[-1]
         y = self._conv(x, hidden, 1, 1, f"{prefix}.pw1", padding=0)
         y = self._bn(y, f"{prefix}.bn1", train)
@@ -210,7 +229,7 @@ class PoseNetTPU(nn.Module):
             if s > 0:
                 x = self._downsample(x, width, f"down{s}", train)
             for b in range(depth):
-                x = self._mbconv(x, width, f"stage{s}.{b}", train)
+                x = self._mbconv(x, width, f"stage{s}.{b}", train, stage=s)
             feats.append(x)
 
         # top-down pixel-shuffle FPN back to stride 4
@@ -218,7 +237,7 @@ class PoseNetTPU(nn.Module):
         for s in range(len(feats) - 2, -1, -1):
             y = feats[s] + self._lateral_up(y, self.widths[s], f"up{s}",
                                             train)
-            y = self._mbconv(y, self.widths[s], f"fpn{s}", train)
+            y = self._mbconv(y, self.widths[s], f"fpn{s}", train, stage=s)
         y0 = y                                   # [N, 64, 64, widths[0]]
 
         if self.head_type == "coordinates":
@@ -237,10 +256,15 @@ def build_tpu_native(cfgs: dict, dtype=jnp.float32) -> PoseNetTPU:
     hm = cfgs["heatmapModel"]
     extra = hm.get("extra", {}) or {}
     in_ch = 5 if hm.get("add_xy", False) else 3
+    exp = extra.get("expansion", (2, 3, 4))
+    if isinstance(exp, (tuple, list)):
+        exp = tuple(int(e) for e in exp)
+    else:
+        exp = int(exp)
     return PoseNetTPU(
-        depths=tuple(int(d) for d in extra.get("depths", (3, 3, 9))),
+        depths=tuple(int(d) for d in extra.get("depths", (1, 3, 9))),
         widths=tuple(int(w) for w in extra.get("widths", (128, 256, 512))),
-        expansion=int(extra.get("expansion", 4)),
+        expansion=exp,
         num_joints=int(hm["num_joints"]),
         head_type=hm.get("head_type", "coordinates"),
         heatmap_size=tuple(hm.get("heatmap_size", (64, 64))),
