@@ -222,3 +222,34 @@ def test_native_sharded_matches_single(kitti_root):
     # noise across the mesh (relative 1e-5)
     np.testing.assert_allclose(sharded["kpts_3d_pred"],
                                single["kpts_3d_pred"], rtol=1e-5, atol=1e-3)
+
+
+def test_per_stage_expansion_widths():
+    """expansion accepts an int (uniform) or a per-stage tuple; the hidden
+    (pw1) widths must follow width[s] * expansion[s], head blocks keep the
+    last stage's ratio (models/tpu_native.py:_expansion_for)."""
+    def pw1_widths(expansion):
+        cfg = default_demo_config()
+        hm = cfg["heatmapModel"]
+        hm["name"] = "tpu_native"
+        hm["pretrained"] = ""
+        hm["extra"] = {"depths": [1, 1, 1], "widths": [8, 16, 32],
+                       "expansion": expansion, "head_width": 8}
+        hm["input_size"] = [64, 64]
+        hm["heatmap_size"] = [16, 16]
+        model = build_heatmap_model(cfg)
+        params = _init(model)["params"]
+        return {name: params[f"{name}.pw1"]["kernel"].shape[-1]
+                for name in ("stage0.0", "stage1.0", "stage2.0", "head2.0")}
+
+    per_stage = pw1_widths([2, 3, 4])
+    assert per_stage["stage0.0"] == 8 * 2
+    assert per_stage["stage1.0"] == 16 * 3
+    assert per_stage["stage2.0"] == 32 * 4
+    assert per_stage["head2.0"] == 8 * 4          # head = last stage's ratio
+
+    uniform = pw1_widths(3)
+    assert uniform["stage0.0"] == 8 * 3
+    assert uniform["stage1.0"] == 16 * 3
+    assert uniform["stage2.0"] == 32 * 3
+    assert uniform["head2.0"] == 8 * 3
