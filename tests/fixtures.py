@@ -205,14 +205,14 @@ def shrink_hrnet(cfg, num_blocks=1, num_modules=(1, 1, 1),
 
 
 def shrink_tpu_native(cfg, depths=(1, 1, 1), widths=(8, 16, 32),
-                      input_size=64, heatmap_size=16):
+                      input_size=64, heatmap_size=16, head_width=8):
     """Switch a config to a tiny PoseNetTPU (models/tpu_native.py) for
     fast tests.  Modifies ``cfg`` in place and returns it."""
     hm = cfg["heatmapModel"]
     hm["name"] = "tpu_native"
     hm["pretrained"] = ""
     hm["extra"] = {"depths": list(depths), "widths": list(widths),
-                   "expansion": 2, "head_width": 8}
+                   "expansion": 2, "head_width": int(head_width)}
     hm["input_size"] = [input_size, input_size]
     hm["heatmap_size"] = [heatmap_size, heatmap_size]
     return cfg

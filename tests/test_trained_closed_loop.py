@@ -53,8 +53,11 @@ def _shrink_backbone(cfg, backbone):
     """Apply the tiny-model config for the parametrized backbone family."""
     if backbone == "hrnet":
         return fixtures.shrink_hrnet(cfg)
+    # head_width must comfortably exceed the reference head trunk's 35
+    # channels (maps+xy): an 8-wide coordinate trunk is an information
+    # bottleneck that caps AOS ~50 on this fixture
     return fixtures.shrink_tpu_native(cfg, depths=(1, 1, 2),
-                                      widths=(16, 32, 64))
+                                      widths=(16, 32, 64), head_width=48)
 
 
 @pytest.fixture(scope="module", params=["hrnet", "tpu_native"])
