@@ -288,6 +288,12 @@ class IGRBatchLoader:
             batch["sup_mask"][idx] = 0.0
         return batch
 
+    def reseed(self, seed: int) -> None:
+        """Re-key the shuffle RNG.  Exact-resume training derives this from
+        (run seed, epoch) so a resumed run replays the same batch order the
+        uninterrupted run would have drawn (train/igrs.py fit)."""
+        self.rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
     def epoch(self, shuffle: bool | None = None):
         order = np.arange(len(self.records))
         if shuffle if shuffle is not None else self.train:
@@ -328,6 +334,11 @@ class ArrayBatchLoader:
         self.batch_size = int(batch_size)
         self.rng = np.random.RandomState(seed)
         self.drop_remainder = drop_remainder
+
+    def reseed(self, seed: int) -> None:
+        """Re-key the shuffle RNG (exact-resume contract — see
+        IGRBatchLoader.reseed)."""
+        self.rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
     def steps_per_epoch(self):
         n = len(self.inputs)

@@ -233,11 +233,20 @@ class IGRTrainer:
     def fit(self, train_records, valid_records=None, epochs=None,
             seed: int = 0, report_every: int | None = None, eval_hook=None,
             snapshot_dir: str | None = None, state=None,
-            ss_record=None, ss_img_root: str = "", ss_max_per_img: int = 6):
+            ss_record=None, ss_img_root: str = "", ss_max_per_img: int = 6,
+            ckpt_manager=None, start_epoch: int = 0):
         """Full training loop mirroring the reference epoch structure
         (trainer.py:127-263): per-epoch loader, cross-ratio after epoch 1,
         periodic logging, optional mid-training evaluation and epoch
-        snapshots."""
+        snapshots.
+
+        ``ckpt_manager`` (io.orbax_ckpt.TrainCheckpointManager) saves the
+        FULL train state after every epoch, asynchronously; pass it together
+        with ``state`` restored from it and ``start_epoch`` = latest saved
+        step to resume exactly.  When exact-resume is in play the per-epoch
+        shuffle order is derived from (seed, epoch) rather than a sequential
+        RNG so the resumed run sees the same batches the uninterrupted run
+        would have."""
         settings = self.cfgs.get("training_settings", {})
         epochs = epochs or int(settings.get("total_epochs", 1))
         report_every = report_every or int(settings.get("report_every", 30))
@@ -257,7 +266,10 @@ class IGRTrainer:
         if state is None:
             state = self.init_state(seed)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
+            if ckpt_manager is not None or start_epoch:
+                # shuffle as a pure function of (seed, epoch): resumable
+                loader.reseed((seed + 1) * 1_000_003 + epoch)
             # cross-ratio loss switches on after the first epoch
             apply_cr = epoch >= 1 and self.loss_cfg.use_cr
             t0 = time.time()
@@ -318,8 +330,14 @@ class IGRTrainer:
             if snapshot_dir and (epoch + 1) in snapshot_epochs:
                 self.save_snapshot(state,
                                    f"{snapshot_dir}/HC_epoch{epoch + 1}")
+            if ckpt_manager is not None:
+                # full-state save (params + batch_stats + opt_state + step);
+                # async — overlaps the next epoch's compute
+                ckpt_manager.save(epoch + 1, state)
             if eval_hook is not None:
                 eval_hook(self, state, epoch)
+        if ckpt_manager is not None:
+            ckpt_manager.wait_until_finished()
         if settings.get("plot_loss") and snapshot_dir and history:
             self._plot_loss_curve(history, f"{snapshot_dir}/loss.png")
         return state, history

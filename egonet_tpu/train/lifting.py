@@ -130,17 +130,24 @@ class LiftingTrainer:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         return pmesh.shard_batch_pytree(batch, self.mesh)
 
-    def fit(self, train_set, valid_set=None, epochs=None, seed: int = 0):
-        """train_set: KITTIDataset with exp_type='2dto3d' (normalized)."""
+    def fit(self, train_set, valid_set=None, epochs=None, seed: int = 0,
+            state=None, ckpt_manager=None, start_epoch: int = 0):
+        """train_set: KITTIDataset with exp_type='2dto3d' (normalized).
+
+        ``ckpt_manager``/``start_epoch``/``state``: exact-resume support,
+        same contract as IGRTrainer.fit (io/orbax_ckpt.py)."""
         settings = self.cfgs.get("training_settings", {})
         epochs = epochs or int(settings.get("total_epochs", 1))
         batch_size = int(settings.get("batch_size", 2048))
         loader = ArrayBatchLoader(train_set.input, train_set.output,
                                   batch_size, seed=seed)
-        state = self.init_state(seed)
+        if state is None:
+            state = self.init_state(seed)
         rng = jax.random.PRNGKey(seed + 1)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
+            if ckpt_manager is not None or start_epoch:
+                loader.reseed((seed + 1) * 1_000_003 + epoch)
             t0 = time.time()
             total, n = 0.0, 0
             for batch in loader.epoch():
@@ -159,6 +166,10 @@ class LiftingTrainer:
                 if self.logger:
                     self.logger.info(f"lifter epoch {epoch}: "
                                      f"valid mse {mse:.6f}")
+            if ckpt_manager is not None:
+                ckpt_manager.save(epoch + 1, state)
+        if ckpt_manager is not None:
+            ckpt_manager.wait_until_finished()
         return state, history
 
     def evaluate(self, state, valid_set, metrics=None,

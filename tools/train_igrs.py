@@ -77,12 +77,37 @@ def main(argv=None):
     state = trainer.init_state(0, variables=variables)
     ckpt_out = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_out, exist_ok=True)
+
+    # exact resume: training_settings.exact_resume names an orbax
+    # CheckpointManager directory holding FULL train states (params +
+    # batch_stats + opt_state + step).  Unlike the msgpack `resume` warm
+    # start above, this restores the Adam moments and schedule position
+    # and continues from the saved epoch.  (The reference's `resume` key
+    # is a dead placeholder, configs/KITTI_train_IGRs.yml:156.)
+    ckpt_manager, start_epoch = None, 0
+    exact_dir = cfgs["training_settings"].get("exact_resume")
+    if exact_dir:
+        from egonet_tpu.io.orbax_ckpt import TrainCheckpointManager
+        if not isinstance(exact_dir, str):
+            exact_dir = os.path.join(ckpt_out, "orbax")
+        ckpt_manager = TrainCheckpointManager(exact_dir)
+        latest = ckpt_manager.latest_step()
+        if latest is not None:
+            logger.info(f"exact resume from {exact_dir} @ epoch {latest}")
+            state = ckpt_manager.restore(state, step=latest)
+            if mesh is not None:
+                state = pmesh.replicate_pytree(state, mesh)
+            start_epoch = int(latest)
+
     state, history = trainer.fit(
         train_set.records, valid_set.records, state=state,
         snapshot_dir=ckpt_out,
         ss_record=getattr(train_set, "ss_record", None),
         ss_img_root=getattr(train_set, "ss_img_root", ""),
-        ss_max_per_img=getattr(train_set, "ss_max_per_img", 6))
+        ss_max_per_img=getattr(train_set, "ss_max_per_img", 6),
+        ckpt_manager=ckpt_manager, start_epoch=start_epoch)
+    if ckpt_manager is not None:
+        ckpt_manager.close()
     logger.info(f"training done: {history[-1] if history else 'no steps'}")
 
     # save both native (orbax/msgpack) and torch-compatible checkpoints
