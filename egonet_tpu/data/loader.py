@@ -66,6 +66,35 @@ class LRUImageCache:
         return self._bytes
 
 
+def host_shard(records, index: int | None = None, count: int | None = None):
+    """Disjoint per-host record shard for multi-host data parallelism
+    (SURVEY §2.8: per-host input sharding by image id).  Each process
+    reads only its strided slice; shards are wrap-padded to the same
+    length because SPMD collectives require every host to run the same
+    number of steps (a short host would hang the all-reduce).
+
+    ``index``/``count`` default to jax.process_index()/process_count(),
+    so on a single-process rig this is the identity.
+    """
+    records = list(records)
+    if count is None or index is None:
+        import jax
+        count = jax.process_count()
+        index = jax.process_index()
+    if count <= 1 or not records:
+        return records
+    if not 0 <= index < count:
+        raise ValueError(f"host index {index} outside [0, {count})")
+    shard = records[index::count]
+    want = -(-len(records) // count)            # ceil: max shard length
+    if not shard:                                # more hosts than records
+        shard = [records[index % len(records)]]
+    base = list(shard)
+    while len(shard) < want:                     # wrap-pad from own shard
+        shard.append(base[(len(shard) - len(base)) % len(base)])
+    return shard
+
+
 def jitter_bbox(bbox, scaling_params, rng: np.random.RandomState):
     """Randomly rescale/shift a box without occluding keypoints."""
     w = bbox[2] - bbox[0]
@@ -95,8 +124,10 @@ class IGRBatchLoader:
     def __init__(self, records, cfgs: dict, train: bool,
                  canvas_hw=(384, 1280), max_instances: int = MAX_INS_CNT,
                  seed: int = 0, ss_record=None, ss_img_root: str = "",
-                 ss_max_per_img: int = 6):
-        self.records = records
+                 ss_max_per_img: int = 6, shard_hosts: bool = True):
+        # multi-host data parallelism: each process keeps only its shard
+        # (identity when jax.process_count() == 1)
+        self.records = host_shard(records) if shard_hosts else list(records)
         self.cfgs = cfgs
         self.train = train
         # weak self-supervision source (unlabeled boxes; reference
@@ -328,9 +359,14 @@ class ArrayBatchLoader:
     """Simple shuffling batcher over in-RAM arrays (lifter training)."""
 
     def __init__(self, inputs, outputs, batch_size: int, seed: int = 0,
-                 drop_remainder: bool = False):
-        self.inputs = np.asarray(inputs)
-        self.outputs = np.asarray(outputs)
+                 drop_remainder: bool = False, shard_hosts: bool = True):
+        inputs, outputs = np.asarray(inputs), np.asarray(outputs)
+        if shard_hosts:
+            rows = host_shard(np.arange(len(inputs)))
+            if len(rows) != len(inputs):
+                inputs, outputs = inputs[rows], outputs[rows]
+        self.inputs = inputs
+        self.outputs = outputs
         self.batch_size = int(batch_size)
         self.rng = np.random.RandomState(seed)
         self.drop_remainder = drop_remainder
