@@ -66,7 +66,8 @@ class LRUImageCache:
         return self._bytes
 
 
-def host_shard(records, index: int | None = None, count: int | None = None):
+def host_shard(records, index: int | None = None, count: int | None = None,
+               epoch: int = 0):
     """Disjoint per-host record shard for multi-host data parallelism
     (SURVEY §2.8: per-host input sharding by image id).  Each process
     reads only its strided slice; shards are wrap-padded to the same
@@ -75,6 +76,16 @@ def host_shard(records, index: int | None = None, count: int | None = None):
 
     ``index``/``count`` default to jax.process_index()/process_count(),
     so on a single-process rig this is the identity.
+
+    ``epoch`` rotates which records fill the wrap-padding slots: without
+    it, uneven shards would re-train the SAME leading records every epoch
+    (a persistent per-record sample-weighting bias); rotating spreads the
+    duplication uniformly over the shard across epochs.  Loaders re-shard
+    per epoch via ``set_epoch``.
+
+    Degenerate case ``count > len(records)``: disjointness is impossible —
+    every host gets one (epoch-rotated) record and some records appear on
+    several hosts.
     """
     records = list(records)
     if count is None or index is None:
@@ -88,10 +99,10 @@ def host_shard(records, index: int | None = None, count: int | None = None):
     shard = records[index::count]
     want = -(-len(records) // count)            # ceil: max shard length
     if not shard:                                # more hosts than records
-        shard = [records[index % len(records)]]
+        shard = [records[(index + epoch) % len(records)]]
     base = list(shard)
     while len(shard) < want:                     # wrap-pad from own shard
-        shard.append(base[(len(shard) - len(base)) % len(base)])
+        shard.append(base[(epoch + len(shard) - len(base)) % len(base)])
     return shard
 
 
@@ -126,8 +137,13 @@ class IGRBatchLoader:
                  seed: int = 0, ss_record=None, ss_img_root: str = "",
                  ss_max_per_img: int = 6, shard_hosts: bool = True):
         # multi-host data parallelism: each process keeps only its shard
-        # (identity when jax.process_count() == 1)
-        self.records = host_shard(records) if shard_hosts else list(records)
+        # (identity when jax.process_count() == 1).  The full list is kept
+        # so set_epoch can rotate the wrap-padding slots (host_shard docs).
+        self._all_records = list(records)
+        self._shard_hosts = bool(shard_hosts)
+        self._epoch_idx = 0
+        self.records = host_shard(self._all_records) if shard_hosts \
+            else self._all_records
         self.cfgs = cfgs
         self.train = train
         # weak self-supervision source (unlabeled boxes; reference
@@ -325,6 +341,14 @@ class IGRBatchLoader:
         uninterrupted run would have drawn (train/igrs.py fit)."""
         self.rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Rotate the multi-host wrap-padding (torch DistributedSampler
+        ``set_epoch`` idiom).  Called by the trainers at each epoch head;
+        a no-op for unsharded loaders."""
+        self._epoch_idx = int(epoch)
+        if self._shard_hosts:
+            self.records = host_shard(self._all_records, epoch=epoch)
+
     def epoch(self, shuffle: bool | None = None):
         order = np.arange(len(self.records))
         if shuffle if shuffle is not None else self.train:
@@ -360,21 +384,30 @@ class ArrayBatchLoader:
 
     def __init__(self, inputs, outputs, batch_size: int, seed: int = 0,
                  drop_remainder: bool = False, shard_hosts: bool = True):
-        inputs, outputs = np.asarray(inputs), np.asarray(outputs)
-        if shard_hosts:
-            rows = host_shard(np.arange(len(inputs)))
-            if len(rows) != len(inputs):
-                inputs, outputs = inputs[rows], outputs[rows]
-        self.inputs = inputs
-        self.outputs = outputs
+        self._full_inputs = np.asarray(inputs)
+        self._full_outputs = np.asarray(outputs)
+        self._shard_hosts = bool(shard_hosts)
         self.batch_size = int(batch_size)
         self.rng = np.random.RandomState(seed)
         self.drop_remainder = drop_remainder
+        self.set_epoch(0)
 
     def reseed(self, seed: int) -> None:
         """Re-key the shuffle RNG (exact-resume contract — see
         IGRBatchLoader.reseed)."""
         self.rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Rotate the multi-host wrap-padding per epoch (host_shard docs);
+        identity when unsharded or single-process."""
+        inputs, outputs = self._full_inputs, self._full_outputs
+        if self._shard_hosts:
+            rows = host_shard(np.arange(len(inputs)), epoch=int(epoch))
+            if len(rows) != len(inputs) or not np.array_equal(
+                    rows, np.arange(len(inputs))):
+                inputs, outputs = inputs[rows], outputs[rows]
+        self.inputs = inputs
+        self.outputs = outputs
 
     def steps_per_epoch(self):
         n = len(self.inputs)

@@ -184,10 +184,14 @@ class IGRTrainer:
         # (eval_every) would otherwise re-decode the whole validation image
         # set from disk every time (the loader's LRU decode cache amortizes
         # it, like the reference's single persistent valid_dataset)
+        # shard_hosts=False: every host scores the FULL validation set.
+        # A sharded eval would double-count wrap-padded duplicates and
+        # leave per-host Evaluator results unaggregated (ADVICE r3).
         cached = getattr(self, "_eval_loader", None)
         if cached is None or cached[0] is not records:
             cached = (records,
-                      IGRBatchLoader(records, self.cfgs, train=False))
+                      IGRBatchLoader(records, self.cfgs, train=False,
+                                     shard_hosts=False))
             self._eval_loader = cached
         loader = cached[1]
         for batch in loader.epoch(shuffle=False):
@@ -234,7 +238,7 @@ class IGRTrainer:
             seed: int = 0, report_every: int | None = None, eval_hook=None,
             snapshot_dir: str | None = None, state=None,
             ss_record=None, ss_img_root: str = "", ss_max_per_img: int = 6,
-            ckpt_manager=None, start_epoch: int = 0):
+            ckpt_manager=None, start_epoch: int = 0, loader_kwargs=None):
         """Full training loop mirroring the reference epoch structure
         (trainer.py:127-263): per-epoch loader, cross-ratio after epoch 1,
         periodic logging, optional mid-training evaluation and epoch
@@ -262,11 +266,14 @@ class IGRTrainer:
         loader = IGRBatchLoader(train_records, self.cfgs, train=True,
                                 seed=seed, ss_record=ss_record,
                                 ss_img_root=ss_img_root,
-                                ss_max_per_img=ss_max_per_img)
+                                ss_max_per_img=ss_max_per_img,
+                                **(loader_kwargs or {}))
         if state is None:
             state = self.init_state(seed)
         history = []
         for epoch in range(start_epoch, epochs):
+            # rotate multi-host wrap-padding (no-op single-process)
+            loader.set_epoch(epoch)
             if ckpt_manager is not None or start_epoch:
                 # shuffle as a pure function of (seed, epoch): resumable
                 loader.reseed((seed + 1) * 1_000_003 + epoch)

@@ -146,6 +146,7 @@ class LiftingTrainer:
         rng = jax.random.PRNGKey(seed + 1)
         history = []
         for epoch in range(start_epoch, epochs):
+            loader.set_epoch(epoch)    # rotate multi-host wrap-padding
             if ckpt_manager is not None or start_epoch:
                 loader.reseed((seed + 1) * 1_000_003 + epoch)
             t0 = time.time()

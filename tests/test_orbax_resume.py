@@ -110,10 +110,7 @@ def test_exact_resume_matches_uninterrupted(records_and_cfg, tmp_path):
     assert int(state_c.step) == int(state_a.step)
 
 
-def test_lifter_exact_resume(records_and_cfg, tmp_path):
-    from egonet_tpu.train.lifting import LiftingTrainer
-    from egonet_tpu.io.orbax_ckpt import TrainCheckpointManager
-    _, igr_cfg = records_and_cfg
+def _lifter_setup(igr_cfg):
     here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
                         "configs")
     cfg = load_config(os.path.join(here, "KITTI_train_lifting.yml"))
@@ -124,6 +121,14 @@ def test_lifter_exact_resume(records_and_cfg, tmp_path):
     cfg["FCModel"]["input_size"] = int(train_set.input.shape[1])
     cfg["FCModel"]["output_size"] = int(train_set.output.shape[1])
     cfg["FCModel"]["num_neurons"] = 32
+    return cfg, train_set
+
+
+def test_lifter_exact_resume(records_and_cfg, tmp_path):
+    from egonet_tpu.train.lifting import LiftingTrainer
+    from egonet_tpu.io.orbax_ckpt import TrainCheckpointManager
+    _, igr_cfg = records_and_cfg
+    cfg, train_set = _lifter_setup(igr_cfg)
 
     with TrainCheckpointManager(str(tmp_path / "la"),
                                 async_save=False) as mgr:
@@ -140,6 +145,37 @@ def test_lifter_exact_resume(records_and_cfg, tmp_path):
         state_b, _ = tr.fit(train_set, epochs=4, seed=3, state=restored,
                             ckpt_manager=mgr, start_epoch=2)
     for got, want in zip(_leaves(state_b), _leaves(state_a)):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_async_save_survives_buffer_donation(records_and_cfg, tmp_path):
+    """The shipped default is async_save=True (tools/train_igrs.py), and
+    the train steps donate the state buffers (donate_argnums=(0,)): a save
+    that deferred its device->host copy would read buffers the NEXT step
+    has already overwritten.  Save async, keep training immediately, then
+    restore the saved step and compare to a host snapshot taken at save
+    time (ADVICE r3)."""
+    from egonet_tpu.train.lifting import LiftingTrainer
+    from egonet_tpu.io.orbax_ckpt import TrainCheckpointManager
+    _, igr_cfg = records_and_cfg
+    cfg, train_set = _lifter_setup(igr_cfg)
+    tr = LiftingTrainer(cfg)
+    state = tr.init_state(3)
+    from egonet_tpu.data.loader import ArrayBatchLoader
+    loader = ArrayBatchLoader(train_set.input, train_set.output, 4, seed=3)
+    rng = jax.random.PRNGKey(4)
+    for batch in loader.epoch():
+        state, _ = tr.train_step(state, batch, rng)
+    snap = _leaves(state)                 # host truth at save time
+    with TrainCheckpointManager(str(tmp_path / "async"),
+                                async_save=True) as mgr:
+        mgr.save(1, state)
+        # donate the just-saved buffers while the save may be in flight
+        for batch in loader.epoch():
+            state, _ = tr.train_step(state, batch, rng)
+        mgr.wait_until_finished()
+        restored = mgr.restore(tr.init_state(0), step=1)
+    for got, want in zip(_leaves(restored), snap):
         np.testing.assert_array_equal(got, want)
 
 

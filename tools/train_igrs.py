@@ -31,9 +31,13 @@ def main(argv=None):
     valid_set = libkitti.KITTIDataset(cfgs, "valid", logger)
 
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
-    loader_steps = max(1, (len(train_set.records)
-                           + cfgs["training_settings"]["batch_size"] - 1)
-                       // cfgs["training_settings"]["batch_size"])
+    # steps/epoch from the POST-host-shard record count: the loader shards
+    # records across processes, so scheduling MultiStepLR boundaries off
+    # the full count would fire LR decay ~process_count epochs late on
+    # multi-host rigs (host_shard wrap-pads every shard to the ceil length)
+    batch = int(cfgs["training_settings"]["batch_size"])
+    per_host = -(-len(train_set.records) // max(1, jax.process_count()))
+    loader_steps = max(1, -(-per_host // batch))
     dtype = jnp.bfloat16 if cfgs.get("bf16", False) else jnp.float32
     trainer = IGRTrainer(cfgs, mesh=mesh, dtype=dtype,
                          steps_per_epoch=loader_steps, logger=logger)
