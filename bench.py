@@ -214,6 +214,17 @@ def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
         return crops
 
     crops_done = run_epoch()                 # warmup: compile + page cache
+    # cold view: decoded-image cache dropped, so every frame pays the PNG
+    # decode (the pre-round-4 behavior); warm view: repeated passes hit the
+    # RAM store and run at the transport/compute ceiling instead of the
+    # decode ceiling
+    cold = 0.0
+    if model.image_store is not None:
+        model.image_store.clear_ram()
+        t0 = time.perf_counter()
+        n = run_epoch()
+        cold = n / (time.perf_counter() - t0)
+        crops_done += n
     best = 0.0
     for _ in range(3):                       # best-of-3: tunnel stalls flake
         t0 = time.perf_counter()
@@ -224,7 +235,7 @@ def bench_e2e(model, out_dir, epochs=2, images_per_batch=16,
         best = max(best, total / (time.perf_counter() - t0))
     # crops_done counts EVERY processed crop incl. the warmup epoch, so it
     # divides the transport byte counters exactly (no epoch-ratio coupling)
-    return best, crops_done
+    return best, crops_done, cold
 
 
 def main():
@@ -288,8 +299,13 @@ def main():
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
             model.transport_stats = {k: 0 for k in model.transport_stats}
-            e2e, e2e_crops = bench_e2e(model, "/tmp/egonet_bench_e2e")
+            e2e, e2e_crops, e2e_cold = bench_e2e(model,
+                                                 "/tmp/egonet_bench_e2e")
             extra["e2e_crops_per_sec"] = round(e2e, 1)
+            if e2e_cold:
+                # decode-cache split: cold pays the per-frame PNG decode,
+                # warm (the headline) runs from the decoded-image store
+                extra["e2e_cold_crops_per_sec"] = round(e2e_cold, 1)
             extra["e2e_vs_core"] = round(e2e / crops_per_sec, 3)
             ts = model.transport_stats
             moved = ts["packed_bytes"] + ts["canvas_bytes"]

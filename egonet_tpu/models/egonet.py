@@ -143,6 +143,18 @@ class EgoNet:
         # image bytes each moved host->device (read by bench.py)
         self.transport_stats = {"packed_batches": 0, "canvas_batches": 0,
                                 "packed_bytes": 0, "canvas_bytes": 0}
+        # decoded-image store: repeated passes over the same frames
+        # (validation loops, serving replays, multi-epoch benches) skip
+        # the ~26 ms/frame PNG decode that bounds e2e on 1-core hosts.
+        # cfg: cache_images (default on), image_cache_bytes,
+        # image_disk_cache (a directory enables the raw-uint8 disk tier)
+        self.image_store = None
+        if cfgs.get("cache_images", True):
+            from egonet_tpu.data.image_store import ImageStore
+            disk = cfgs.get("image_disk_cache") or None
+            self.image_store = ImageStore(
+                int(cfgs.get("image_cache_bytes", 2 << 30)),
+                disk_dir=disk if isinstance(disk, str) else None)
 
     def to_device(self, device=None):
         """Commit parameters + stats to the accelerator(s) ONCE.  Without
@@ -304,13 +316,11 @@ class EgoNet:
     # host-side batch assembly
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def load_image(path: str) -> np.ndarray:
-        import cv2
-        img = cv2.imread(path, 1 | 128)
-        if img is None:
-            raise ValueError(f"Fail to read {path}")
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    def load_image(self, path: str) -> np.ndarray:
+        if self.image_store is not None:
+            return self.image_store.get(path)
+        from egonet_tpu.data.image_store import decode_image
+        return decode_image(path)
 
     def forward_annot_dict(self, annot_dict: dict, enlarge: float = 1.1,
                            alpha_mode: str = "proj",
@@ -327,7 +337,8 @@ class EgoNet:
     def dispatch_annot_dict(self, annot_dict: dict, enlarge: float = 1.1,
                             alpha_mode: str = "proj",
                             canvas_hw=(384, 1280),
-                            pack_profile: str = "transport"):
+                            pack_profile: str = "transport",
+                            bucket_floor: int | None = None):
         """Host-prep one batch and ASYNCHRONOUSLY dispatch the fused device
         program; returns a pending handle for :meth:`finalize`.
 
@@ -436,10 +447,16 @@ class EgoNet:
             # shape discipline over latency polish: ragged micro-batches
             # otherwise walk the whole bucket ladder (8..128), and each
             # novel (bucket, canvas) pair is a minutes-long XLA compile on
-            # a cold server.  One 128-floor bucket costs ~50 ms of padded
-            # device compute per small batch — noise next to the
-            # per-request transport — and collapses the program set.
-            bucket = max(bucket, 128)
+            # a cold server.  A floor bucket costs padded device compute
+            # per small batch — noise next to the per-request transport —
+            # and collapses the program set.  ``bucket_floor`` lets the
+            # micro-batcher pick the floor ADAPTIVELY (VERDICT r3 #5): a
+            # small pre-compiled idle bucket for uncongested single
+            # requests (~50 ms less padded compute per call), the full
+            # 128 floor under concurrent load; the program set stays at
+            # two buckets per canvas shape.
+            bucket = max(bucket, 128 if bucket_floor is None
+                         else int(bucket_floor))
         if self.mesh is not None:
             nd = self.mesh.devices.size
             bucket = ((bucket + nd - 1) // nd) * nd

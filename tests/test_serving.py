@@ -245,6 +245,58 @@ def test_serving_profile_never_falls_back_to_canvas(small_model, rng):
             == before["canvas_batches"])
 
 
+def test_adaptive_bucket_floor(server, small_model, rng):
+    """Uncongested single requests dispatch at the small idle bucket;
+    a request larger than the idle floor (or arrivals queued behind a
+    drain) uses the 128 congestion floor (VERDICT r3 #5).  The program
+    set stays at exactly two buckets per canvas shape."""
+    stats = server.batcher.stats
+    i0, f0 = stats["idle_dispatches"], stats["floor_dispatches"]
+    # idle: one small request, nothing queued behind it
+    resp = _post(server.port, {"image_b64": _png_b64(rng),
+                               "boxes": [[10, 10, 70, 60]]})
+    assert len(resp["instances"]) == 1
+    assert stats["idle_dispatches"] == i0 + 1
+    assert stats["floor_dispatches"] == f0
+    # one request carrying more instances than the idle floor -> 128 floor
+    n = server.batcher.idle_floor + 1
+    xs = np.linspace(2, 60, n)
+    boxes = [[float(x), 8.0, float(x) + 50.0, 70.0] for x in xs]
+    resp = _post(server.port, {"image_b64": _png_b64(rng),
+                               "boxes": boxes})
+    assert len(resp["instances"]) == n
+    assert stats["floor_dispatches"] == f0 + 1
+    assert stats["idle_dispatches"] == i0 + 1
+    # numerics do not depend on the chosen floor: same request through a
+    # floor-only batcher (idle_floor=0) gives the same alphas
+    from egonet_tpu.serving.server import MicroBatcher, _Request
+    img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+    one_box = np.asarray([[10.0, 10.0, 70.0, 60.0]])
+    mb = MicroBatcher(small_model, max_images=4, max_wait_ms=5.0,
+                      idle_floor=0)
+    try:
+        ra = _Request("a", img, one_box, np.eye(3))
+        mb.submit(ra)
+        assert ra.event.wait(timeout=120) and ra.error is None
+        assert mb.stats["floor_dispatches"] == 1
+    finally:
+        mb.close()
+    mb2 = MicroBatcher(small_model, max_images=4, max_wait_ms=5.0,
+                       idle_floor=16)
+    try:
+        rb = _Request("a", img, one_box, np.eye(3))
+        mb2.submit(rb)
+        assert rb.event.wait(timeout=120) and rb.error is None
+        assert mb2.stats["idle_dispatches"] == 1
+    finally:
+        mb2.close()
+    assert ra.result[0]["alpha"] == pytest.approx(rb.result[0]["alpha"],
+                                                  abs=1e-5)
+    np.testing.assert_allclose(np.asarray(ra.result[0]["kpts_3d"]),
+                               np.asarray(rb.result[0]["kpts_3d"]),
+                               atol=5e-4)
+
+
 def test_queue_bound_rejects_overload(small_model):
     """submit() raises OverloadedError past max_queue; HTTP maps it to
     503 (backpressure instead of unbounded queue growth)."""

@@ -128,6 +128,15 @@ def main(argv=None):
     # describes the timed pass, and requests-per-batch is the coalescing
     # rate readers derive from this line
     stats["batches"] -= batches_before
+
+    # single-stream latency: sequential requests on an otherwise idle
+    # server exercise the ADAPTIVE bucket floor (serving/server.py
+    # idle_floor) — without it every lone request pays the 128-bucket's
+    # padded device compute (~50 ms on-rig)
+    idle_before = server.batcher.stats["idle_dispatches"]
+    single = np.sort([fire(payloads[i % len(payloads)]) * 1e3
+                      for i in range(12)])
+    idle_used = server.batcher.stats["idle_dispatches"] - idle_before
     server.stop()
     print(json.dumps({
         "metric": "serve_requests_per_sec",
@@ -140,6 +149,9 @@ def main(argv=None):
         "p90_ms": round(float(lats_ms[int(len(lats_ms) * 0.9)]), 1),
         "max_ms": round(float(lats_ms[-1]), 1),
         "batches": stats["batches"],
+        "single_stream_p50_ms": round(float(single[len(single) // 2]), 1),
+        "single_stream_idle_dispatches": int(idle_used),
+        "idle_floor": server.batcher.idle_floor,
     }))
 
 

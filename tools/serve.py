@@ -32,6 +32,10 @@ def main(argv=None):
                         help="images per micro-batch")
     parser.add_argument("--max-wait-ms", type=float, default=10.0,
                         help="max linger after the first queued request")
+    parser.add_argument("--idle-floor", type=int, default=16,
+                        help="instance bucket for uncongested micro-batches "
+                             "(the 128 congestion floor applies under load); "
+                             "0 always uses the 128 floor")
     parser.add_argument("--alpha-mode", default="proj",
                         choices=("proj", "trans"))
     parser.add_argument("--warmup", type=int, default=1,
@@ -76,7 +80,8 @@ def main(argv=None):
     server = PoseServer(model, host=args.host, port=args.port,
                         max_images=args.max_batch,
                         max_wait_ms=args.max_wait_ms,
-                        alpha_mode=args.alpha_mode).start()
+                        alpha_mode=args.alpha_mode,
+                        idle_floor=args.idle_floor).start()
     if args.warmup:
         logger.info("warmup: compiling the common bucket ...")
         server.warmup()
