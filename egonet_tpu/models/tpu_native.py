@@ -57,16 +57,23 @@ class PoseNetTPU(nn.Module):
     """MBConv backbone + pixel-shuffle FPN + EgoNet heads."""
 
     depths: tuple = (1, 3, 9)           # blocks per stage (most depth at
-                                        # 16^2 where measured MXU util is
-                                        # ~75%; the 64^2 stage is HBM-bound
-                                        # so it stays shallow)
-    widths: tuple = (128, 256, 512)     # channels per stage (x128 multiples)
+                                        # the last stage where measured MXU
+                                        # util is ~75%; the first stage is
+                                        # HBM-bound so it stays shallow)
+    widths: tuple = (256, 512, 1024)    # channels per stage (x128
+                                        # multiples).  Round-4 default is
+                                        # the stride-8 plan (32^2x256 /
+                                        # 16^2x512 / 8^2x1024, swept
+                                        # on-chip: 6,752 crops/s @ 0.569
+                                        # MFU); the round-3 stride-4 plan
+                                        # was (128, 256, 512)
     expansion: Any = (2, 3, 4)          # pw hidden = width * expansion;
                                         # int (uniform) or per-stage tuple —
-                                        # the 64^2 stage is HBM-bound (AI ~80
-                                        # FLOP/B vs the ~240 v5e ridge), so a
-                                        # leaner expand there cuts traffic
-                                        # where FLOPs are not the limit
+                                        # the first stage is HBM-bound (AI
+                                        # ~80 FLOP/B vs the ~240 v5e ridge),
+                                        # so a leaner expand there cuts
+                                        # traffic where FLOPs are not the
+                                        # limit
     num_joints: int = 33
     head_type: str = "coordinates"
     heatmap_size: tuple = (64, 64)      # (width, height) — config order
@@ -76,6 +83,16 @@ class PoseNetTPU(nn.Module):
     dtype: Any = jnp.float32
     act_quant: str = "none"
     act_quant_scale: float = 8.0
+    grid_stride: int = 8                # base feature stride: 8 (default,
+                                        # round 4) — one 8x8 patchify-
+                                        # matmul stem, all stages/FPN/heads
+                                        # at <= in/8, the 64^2 heatmap
+                                        # emitted by channel-to-space
+                                        # (VERDICT r3 #4: the 64^2x128
+                                        # stage was HBM-bound at ANY
+                                        # expansion, so it is REMOVED, not
+                                        # rebalanced); 4 = the round-3
+                                        # legacy trunk
 
     # ---------------- primitives (same policies as hrnet.py) -------------
 
@@ -166,6 +183,52 @@ class PoseNetTPU(nn.Module):
 
     # ---------------- heads (contract of hrnet.py:294-351) ----------------
 
+    def _emit_maps(self, y0, train):
+        """K-channel heatmaps at the configured heatmap_size.  On the
+        stride-8 grid the 64^2 maps are produced by channel-to-space from
+        the 32^2 features — a full-width 1x1 matmul plus a free reshape,
+        instead of any 64^2 convolution ("deeper pixel-shuffle decoder")."""
+        k = self.num_joints
+        map_w, map_h = int(self.heatmap_size[0]), int(self.heatmap_size[1])
+        y0_h = y0.shape[1]
+        if map_h == y0_h:
+            return self._conv(y0, k, 1, 1, "head1.0", padding=0,
+                              use_bias=True)
+        fac = map_h // y0_h
+        assert map_h % y0_h == 0 and fac * y0.shape[2] == map_w, (
+            f"heatmap {map_h}x{map_w} not a multiple of grid "
+            f"{y0.shape[1]}x{y0.shape[2]}")
+        y = self._conv(y0, k * fac * fac, 1, 1, "head1.0", padding=0,
+                       use_bias=True)
+        return _pixel_shuffle(y, fac)
+
+    def _coordinates_head_s8(self, y0, train):
+        """Stride-8 coordinate head: the regression trunk consumes the
+        FULL-width grid features + xy maps (not the K-channel heatmaps —
+        the legacy trunk's K+2 input is an information bottleneck the
+        shrunken closed loop measured at ~40 AOS points, round 3), and
+        every trunk block runs at <= 32^2."""
+        k = self.num_joints
+        maps = self._emit_maps(y0, train)
+        gh, gw = y0.shape[1], y0.shape[2]
+        xs = np.tile(np.linspace(0, 1, gw, dtype=np.float32), (gh, 1))
+        ysc = np.tile(np.linspace(0, 1, gh, dtype=np.float32)[:, None],
+                      (1, gw))
+        coor = jnp.asarray(np.stack([xs, ysc], axis=-1))
+        coor = jnp.broadcast_to(coor, (y0.shape[0],) + coor.shape)
+        h = jnp.concatenate([y0, coor.astype(y0.dtype)], axis=-1)
+        downs = max(0, int(np.log2(gh // 4)))
+        for b in range(downs):
+            h = self._mbconv(h, self.head_width, f"head2.{b}", train,
+                             stride=2)
+        h = nn.Conv(2 * k, (h.shape[1], h.shape[2]), padding="VALID",
+                    use_bias=True, dtype=self.dtype,
+                    precision=self._precision, param_dtype=jnp.float32,
+                    name=f"head2.{downs}")(h)
+        coords = nn.sigmoid(h.astype(self._stat_dtype))
+        coords = coords.reshape(coords.shape[0], -1, 2)
+        return maps.astype(self._stat_dtype).transpose(0, 3, 1, 2), coords
+
     def _coordinates_head(self, y0, train):
         k = self.num_joints
         map_w, map_h = int(self.heatmap_size[0]), int(self.heatmap_size[1])
@@ -188,6 +251,9 @@ class PoseNetTPU(nn.Module):
         return maps.astype(self._stat_dtype).transpose(0, 3, 1, 2), coords
 
     def _heatmap_head(self, y0, train):
+        if self.grid_stride == 8:
+            x = self._emit_maps(y0, train)
+            return x.astype(self._stat_dtype).transpose(0, 3, 1, 2)
         x = self._conv(y0, self.num_joints, 1, 1, "final_layer",
                        padding=0, use_bias=True)
         return x.astype(self._stat_dtype).transpose(0, 3, 1, 2)
@@ -195,7 +261,10 @@ class PoseNetTPU(nn.Module):
     def _angle_head(self, y0, train):
         h = self._conv(y0, self.head_width, 1, 1, "head.0", padding=0,
                        use_bias=True)
-        for b in range(1, 5):
+        # pool down to 4^2 before the global mean (4 blocks from the
+        # legacy 64^2 grid, fewer from the stride-8 32^2 grid)
+        downs = max(1, int(np.log2(max(4, y0.shape[1]) // 4)))
+        for b in range(1, downs + 1):
             h = self._mbconv(h, self.head_width, f"head.{b}", train,
                              stride=2)
         h = jnp.mean(h, axis=(1, 2)).astype(self._stat_dtype)
@@ -216,13 +285,24 @@ class PoseNetTPU(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: [N, H, W, C] normalized crops — same contract as hrnet."""
         x = x.astype(self.dtype)
-        # stem: two stride-2 3x3s (256 -> 64), landing at widths[0]
-        x = self._conv(x, 64, 3, 2, "stem.conv1")
-        x = self._bn(x, "stem.bn1", train)
-        x = nn.relu(x)
-        x = self._conv(x, self.widths[0], 3, 2, "stem.conv2")
-        x = self._bn(x, "stem.bn2", train)
-        x = nn.relu(x)
+        if self.grid_stride == 8:
+            # patchify stem: ONE 8x8/s8 conv == a [N*(H/8)*(W/8), 192] x
+            # [192, W0] matmul.  No intermediate 128^2/64^2 tensors exist
+            # at all — the whole HBM-bound high-resolution regime of the
+            # stride-4 stem (measured 450-670 GB/s at ANY expansion,
+            # docs/performance.md) is gone, not rebalanced.
+            x = self._conv(x, self.widths[0], 8, 8, "stem.patch",
+                           padding=0)
+            x = self._bn(x, "stem.bn1", train)
+            x = nn.relu(x)
+        else:
+            # stem: two stride-2 3x3s (256 -> 64), landing at widths[0]
+            x = self._conv(x, 64, 3, 2, "stem.conv1")
+            x = self._bn(x, "stem.bn1", train)
+            x = nn.relu(x)
+            x = self._conv(x, self.widths[0], 3, 2, "stem.conv2")
+            x = self._bn(x, "stem.bn2", train)
+            x = nn.relu(x)
 
         feats = []
         for s, (depth, width) in enumerate(zip(self.depths, self.widths)):
@@ -238,9 +318,11 @@ class PoseNetTPU(nn.Module):
             y = feats[s] + self._lateral_up(y, self.widths[s], f"up{s}",
                                             train)
             y = self._mbconv(y, self.widths[s], f"fpn{s}", train, stage=s)
-        y0 = y                                   # [N, 64, 64, widths[0]]
+        y0 = y                     # [N, in/grid_stride, in/grid_stride, W0]
 
         if self.head_type == "coordinates":
+            if self.grid_stride == 8:
+                return self._coordinates_head_s8(y0, train)
             return self._coordinates_head(y0, train)
         if self.head_type == "heatmap":
             return self._heatmap_head(y0, train)
@@ -263,7 +345,7 @@ def build_tpu_native(cfgs: dict, dtype=jnp.float32) -> PoseNetTPU:
         exp = int(exp)
     return PoseNetTPU(
         depths=tuple(int(d) for d in extra.get("depths", (1, 3, 9))),
-        widths=tuple(int(w) for w in extra.get("widths", (128, 256, 512))),
+        widths=tuple(int(w) for w in extra.get("widths", (256, 512, 1024))),
         expansion=exp,
         num_joints=int(hm["num_joints"]),
         head_type=hm.get("head_type", "coordinates"),
@@ -274,4 +356,5 @@ def build_tpu_native(cfgs: dict, dtype=jnp.float32) -> PoseNetTPU:
         dtype=dtype,
         act_quant=str(hm.get("act_quant", "none")),
         act_quant_scale=float(hm.get("act_quant_scale", 8.0)),
+        grid_stride=int(extra.get("grid_stride", 8)),
     )

@@ -75,6 +75,33 @@ def random_cars(rng, n=3, z_range=(8.0, 22.0)):
     return recs
 
 
+def random_scene(rng, n_cars=2, n_peds=1, z_range=(8.0, 20.0)):
+    """Randomized mixed Car+Pedestrian scene with KITTI-consistent alpha.
+    Instances occupy disjoint lateral slots so their drawn keypoints never
+    overlap; z <= 20 m keeps everything 'easy' difficulty (cars > 40 px,
+    peds well above the 40 px min height gate)."""
+    n = n_cars + n_peds
+    recs = []
+    slots = np.linspace(-7.0, 7.0, n + 1)
+    order = rng.permutation(n)
+    for i in range(n):
+        is_car = order[i] < n_cars
+        if is_car:
+            dims = (rng.uniform(1.40, 1.60), rng.uniform(1.50, 1.70),
+                    rng.uniform(3.5, 4.2))                    # h, w, l
+        else:
+            dims = (rng.uniform(1.65, 1.85), rng.uniform(0.5, 0.7),
+                    rng.uniform(0.8, 1.0))
+        x = rng.uniform(slots[i] + 1.0, slots[i + 1] - 1.0)
+        z = rng.uniform(*z_range)
+        y = 1.65 + rng.uniform(-0.05, 0.05)
+        ry = rng.uniform(-np.pi, np.pi)
+        alpha = wrap_angle(ry - np.arctan2(x, z))
+        recs.append(_rec("Car" if is_car else "Pedestrian", alpha, dims,
+                         (x, y, z), ry))
+    return recs
+
+
 def draw_instance_keypoints(img, recs, radius=None):
     """Render each instance's 33 projected cuboid keypoints as dots with a
     distinct color per keypoint index — a learnable visual signal for the
@@ -205,14 +232,16 @@ def shrink_hrnet(cfg, num_blocks=1, num_modules=(1, 1, 1),
 
 
 def shrink_tpu_native(cfg, depths=(1, 1, 1), widths=(8, 16, 32),
-                      input_size=64, heatmap_size=16, head_width=8):
+                      input_size=64, heatmap_size=16, head_width=8,
+                      grid_stride=4):
     """Switch a config to a tiny PoseNetTPU (models/tpu_native.py) for
     fast tests.  Modifies ``cfg`` in place and returns it."""
     hm = cfg["heatmapModel"]
     hm["name"] = "tpu_native"
     hm["pretrained"] = ""
     hm["extra"] = {"depths": list(depths), "widths": list(widths),
-                   "expansion": 2, "head_width": int(head_width)}
+                   "expansion": 2, "head_width": int(head_width),
+                   "grid_stride": int(grid_stride)}
     hm["input_size"] = [input_size, input_size]
     hm["heatmap_size"] = [heatmap_size, heatmap_size]
     return cfg

@@ -224,6 +224,104 @@ def test_native_sharded_matches_single(kitti_root):
                                single["kpts_3d_pred"], rtol=1e-5, atol=1e-3)
 
 
+def test_stride8_grid_contract():
+    """grid_stride=8: one patchify stem, every trunk tensor at <= in/8,
+    the SAME head contract — 64^2-equivalent maps emitted by channel-to-
+    space, coords in [0,1], angle head intact (VERDICT r3 #4)."""
+    cfg = fixtures.shrink_tpu_native(default_demo_config(), grid_stride=8)
+    k = cfg["heatmapModel"]["num_joints"]
+    for head, check in (
+        ("coordinates", lambda o: (o[0].shape == (2, k, 16, 16)
+                                   and o[1].shape == (2, k, 2))),
+        ("heatmap", lambda o: o.shape == (2, k, 16, 16)),
+        ("angleregression", lambda o: o.shape == (2, 2)),
+    ):
+        cfg["heatmapModel"]["head_type"] = head
+        model = build_heatmap_model(cfg)
+        assert model.grid_stride == 8
+        v = _init(model)
+        # the stem is a single 8x8 patchify conv; no 3x3 stem convs exist
+        assert "stem.patch" in v["params"]
+        assert "stem.conv1" not in v["params"]
+        out = model.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+        assert check(out), head
+        out2, st = model.apply(v, jnp.ones((2, 64, 64, 3)) * 0.3,
+                               train=True, mutable=["batch_stats"])
+        assert "batch_stats" in st
+        assert check(out2), f"{head} (train)"
+    # coordinates bounded
+    cfg["heatmapModel"]["head_type"] = "coordinates"
+    model = build_heatmap_model(cfg)
+    v = _init(model)
+    rng = np.random.RandomState(0)
+    maps, coords = model.apply(
+        v, jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32)),
+        train=False)
+    coords = np.asarray(coords)
+    assert np.all(np.isfinite(np.asarray(maps)))
+    assert np.all((coords >= 0) & (coords <= 1))
+
+
+def test_stride8_trains_and_runs_fused_pipeline(kitti_root):
+    """The stride-8 family is a drop-in: IGRTrainer steps decrease the
+    loss and the fused EgoNet program produces finite angles."""
+    from egonet_tpu.train.igrs import IGRTrainer
+    from egonet_tpu.data.loader import IGRBatchLoader
+    from egonet_tpu.models.egonet import EgoNet
+    root, _ = kitti_root
+    cfg = _train_cfg(root)
+    cfg["heatmapModel"]["extra"]["grid_stride"] = 8
+    ds = kitti.KITTIDataset(cfg, "train")
+    trainer = IGRTrainer(cfg)
+    loader = IGRBatchLoader(ds.records, cfg, train=True)
+    batch = next(loader.epoch())
+    state = trainer.init_state(0)
+    losses = []
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch, apply_cr=False)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+
+    icfg = fixtures.shrink_tpu_native(default_demo_config(), grid_stride=8)
+    icfg["dataset"]["root"] = root
+    model = EgoNet(icfg, pre_trained=False)
+    dsv = kitti.get_dataset(icfg, split="valid")
+    name = dsv.image_names[0]
+    rec = dsv.annot_dict[name]
+    annot = {"path": [dsv.paths.image_path(name)], "boxes": [rec["bbox_2d"]],
+             "K": [rec["K"]], "raw_txt_format": [rec["raw_txt_format"]]}
+    out = model(annot)[dsv.paths.image_path(name)]
+    assert np.all(np.isfinite(out["euler_angles"]))
+    assert np.all(np.abs(out["alphas"]) <= np.pi + 1e-6)
+
+
+def test_stride8_torch_interchange_roundtrip():
+    """HC.pth interchange holds for the stride-8 family (the gate saves
+    and reloads its trained checkpoint through torch format)."""
+    import tempfile
+    from egonet_tpu.io import checkpoint, torch_convert
+    cfg = fixtures.shrink_tpu_native(default_demo_config(), grid_stride=8)
+    model = build_heatmap_model(cfg)
+    v = numpy_init(model, 3, jnp.zeros((1, 64, 64, 3)))
+    variables = {"params": jax.device_get(v["params"]),
+                 "batch_stats": jax.device_get(v.get("batch_stats", {}))}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "HC.pth")
+        checkpoint.save_torch_state_dict(path, variables)
+        sd = torch_convert.load_torch_state_dict(path)
+        back = torch_convert.torch_to_flax(sd)
+    problems = torch_convert.check_conversion(
+        jax.tree_util.tree_map(np.asarray, dict(v)), back)
+    assert not problems, problems[:5]
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 64, 64, 3).astype(np.float32))
+    a_maps, a_coords = model.apply(v, x, train=False)
+    b_maps, b_coords = model.apply(back, x, train=False)
+    np.testing.assert_allclose(np.asarray(a_coords), np.asarray(b_coords),
+                               atol=1e-6)
+
+
 def test_per_stage_expansion_widths():
     """expansion accepts an int (uniform) or a per-stage tuple; the hidden
     (pw1) widths must follow width[s] * expansion[s], head blocks keep the

@@ -57,7 +57,8 @@ def _shrink_backbone(cfg, backbone):
     # channels (maps+xy): an 8-wide coordinate trunk is an information
     # bottleneck that caps AOS ~50 on this fixture
     return fixtures.shrink_tpu_native(cfg, depths=(1, 1, 2),
-                                      widths=(16, 32, 64), head_width=48)
+                                      widths=(16, 32, 64), head_width=48,
+                                      grid_stride=8)
 
 
 @pytest.fixture(scope="module", params=["hrnet", "tpu_native"])
