@@ -33,6 +33,16 @@ noise).  Two findings cap its usefulness in this environment today:
 
 Kept as the working starting point for a toolchain without the kernel-size
 ceiling; the XLA path remains production.
+
+INVESTIGATION CLOSED (round 4, 2026-08-18): re-probed tile_cols=16/32 on
+the then-current toolchain — both still rejected (probe_wide_tile ->
+False).  The remaining idea, multi-row double-buffered bodies at
+tile_cols=8, cannot win even if it compiled: per-step overhead halves per
+row-doubling, so matching XLA's ~3 ms needs ~16 rows/step = 32 matmuls
+per body, far past the observed ~6-10-matmul compile ceiling.  No further
+rounds will be spent here unless the toolchain lifts the ceiling; the
+wide-tile probe (`probe_wide_tile`) remains the cheap way to notice when
+it does.
 """
 
 from __future__ import annotations
