@@ -49,6 +49,38 @@ def save_lifter_stats(path: str, statistics: dict) -> str:
     return path
 
 
+def warm_start_variables(cfgs: dict, model, logger=None):
+    """Layer-filtered warm start from a pretrained torch ``.pth`` (the
+    reference's start-point mechanism: hrnet.py:634-647 filters the loaded
+    state_dict by ``extra.pretrained_layers`` before ``load_state_dict``).
+
+    Returns a full variables dict (fresh init overlaid with the filtered
+    pretrained weights), or ``None`` when ``heatmapModel.pretrained`` is
+    unset/absent or ``init_weights`` is false.  Shared by tools/train_igrs.py
+    and the closed-loop acceptance gate.
+    """
+    import jax.numpy as jnp
+    from egonet_tpu.io import torch_convert
+
+    hm = cfgs["heatmapModel"]
+    pretrained = hm.get("pretrained")
+    if not (hm.get("init_weights") and pretrained
+            and os.path.exists(pretrained)):
+        return None
+    if logger is not None:
+        logger.info(f"loading pretrained start point {pretrained}")
+    sd = torch_convert.load_torch_state_dict(pretrained)
+    allowed = hm["extra"].get("pretrained_layers", ["*"])
+    if allowed and allowed[0] != "*":
+        sd = {k: v for k, v in sd.items() if k.split(".")[0] in allowed}
+    partial = torch_convert.torch_to_flax(sd)
+    in_ch = 5 if hm.get("add_xy") else 3
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, hm["input_size"][1], hm["input_size"][0], in_ch)))
+    return merge_partial(dict(init), partial)
+
+
 def merge_partial(base: dict, partial: dict) -> dict:
     """Overlay a (possibly partial) checkpoint onto initialized variables.
 

@@ -25,7 +25,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from egonet_tpu.parallel import mesh as pmesh
     from egonet_tpu.train.igrs import IGRTrainer
-    from egonet_tpu.io import torch_convert, checkpoint
+    from egonet_tpu.io import checkpoint
 
     train_set = libkitti.KITTIDataset(cfgs, "train", logger)
     valid_set = libkitti.KITTIDataset(cfgs, "valid", logger)
@@ -51,21 +51,10 @@ def main(argv=None):
         variables = checkpoint.load_variables(resume_path)
 
     # warm start from a pretrained torch checkpoint when configured
-    pretrained = cfgs["heatmapModel"].get("pretrained")
-    if variables is None and cfgs["heatmapModel"].get("init_weights") \
-            and pretrained and os.path.exists(pretrained):
-        logger.info(f"loading pretrained start point {pretrained}")
-        sd = torch_convert.load_torch_state_dict(pretrained)
-        allowed = cfgs["heatmapModel"]["extra"].get("pretrained_layers", ["*"])
-        if allowed and allowed[0] != "*":
-            sd = {k: v for k, v in sd.items()
-                  if k.split(".")[0] in allowed}
-        partial = torch_convert.torch_to_flax(sd)
-        init = trainer.model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfgs["heatmapModel"]["input_size"][1],
-                       cfgs["heatmapModel"]["input_size"][0], 3)))
-        variables = checkpoint.merge_partial(dict(init), partial)
+    # (layer-filtered; shared helper also exercised by the closed-loop gate)
+    if variables is None:
+        variables = checkpoint.warm_start_variables(cfgs, trainer.model,
+                                                    logger=logger)
 
     # parameter/FLOPs summary (reference get_model_summary at startup)
     from egonet_tpu.utils.summary import model_summary, per_layer_summary
