@@ -64,9 +64,14 @@ def warm_start_variables(cfgs: dict, model, logger=None):
 
     hm = cfgs["heatmapModel"]
     pretrained = hm.get("pretrained")
-    if not (hm.get("init_weights") and pretrained
-            and os.path.exists(pretrained)):
+    if not (hm.get("init_weights") and pretrained):
         return None
+    if not os.path.exists(pretrained):
+        # the reference fails loudly here (hrnet.py:645-647); a typo'd path
+        # must not silently fall back to random init
+        raise ValueError(
+            f"heatmapModel.pretrained is set but does not exist: "
+            f"{pretrained!r}")
     if logger is not None:
         logger.info(f"loading pretrained start point {pretrained}")
     sd = torch_convert.load_torch_state_dict(pretrained)
