@@ -172,12 +172,14 @@ def main(argv=None):
         kitti_writer.generate_empty_files(output_dir, calib_dir)
         return
 
-    evaluator = os.path.join(os.path.dirname(__file__), "kitti-eval",
-                             "evaluate_object_3d_offline")
+    # rebuilds via make when kitti_eval.cpp is newer than the binary, so a
+    # stale local build can never score a submission (VERDICT r4 #7)
+    from egonet_tpu.eval.native import ensure_evaluator
+    evaluator = ensure_evaluator()
     label_dir = os.path.join(cfgs["dataset"]["root"], "training", "label_2")
     if not os.path.isdir(output_dir):
         return
-    if os.path.exists(evaluator):
+    if evaluator is not None:
         out = subprocess.check_output([evaluator, label_dir, output_dir])
         print(out.decode())
     else:
