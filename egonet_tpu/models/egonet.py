@@ -278,9 +278,20 @@ class EgoNet:
         norm_in = (flat - ls["mean_in"]) / ls["std_in"]
         pred = self.lifter.apply(lifter_vars, norm_in, train=False)
         pred = pred * ls["std_out"] + ls["mean_out"]
-        kpts_3d = pred.reshape(n, -1, 3)                    # [N, 32, 3]
+        kpts_3d = pred.reshape(n, -1, 3)            # [N, 32 or 33, 3]
 
-        angles, translations = rigid.six_dof_from_cuboids(kpts_3d)
+        if kpts_3d.shape[1] == 33:
+            # lft_out_rep 'R3d+T' (reference car_instance.py:646-686): slot
+            # 0 is the predicted camera-frame root, slots 1..32 the
+            # center-relative cuboid.  Orientation comes from the relative
+            # points; alpha_mode='trans' then consumes a REAL translation
+            # (with the shipped 'R3d' 32-point lifter, 'trans' reads a
+            # relative corner — reference-faithful but meaningless, which
+            # is why the shipped configs pair 'R3d' with 'proj').
+            angles, _ = rigid.six_dof_from_cuboids(kpts_3d[:, 1:, :])
+            translations = kpts_3d[:, 0, :]
+        else:
+            angles, translations = rigid.six_dof_from_cuboids(kpts_3d)
         ry = angles[:, 1]
         if alpha_mode == "trans":
             alphas = rigid.observation_angle_trans(ry, translations)

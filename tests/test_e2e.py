@@ -290,3 +290,41 @@ def test_add_xy_five_channel_pipeline(setup):
     out = model(annot)[path]
     assert out["kpts_3d_pred"].shape[1:] == (32, 3)
     assert np.all(np.isfinite(out["alphas"]))
+
+
+def test_r3dt_lifter_trans_alpha(setup):
+    """A 99-output 'R3d+T' lifter (reference representation,
+    car_instance.py:646-686) makes alpha_mode='trans' consume the REAL
+    predicted root: slot 0 of the lifter output is the camera-frame
+    translation, slots 1..32 drive the template/Kabsch orientation.  (With
+    the shipped 32-point 'R3d' lifter, 'trans' reads a relative corner —
+    reference-faithful but meaningless; shipped configs pair it with
+    'proj'.)"""
+    from egonet_tpu.geometry import rigid
+    from egonet_tpu.models.egonet import EgoNet
+    _, root, _, _, _, ds = setup
+    cfg = small_cfg(root)
+    cfg["dataset"]["lft_out_rep"] = "R3d+T"
+    cfg["FCModel"] = dict(cfg["FCModel"], output_size=99)
+    model = EgoNet(cfg, pre_trained=False)
+    name = ds.image_names[0]
+    rec = ds.annot_dict[name]
+    path = ds.paths.image_path(name)
+    annot = {"path": [path], "boxes": [rec["bbox_2d"]], "K": [rec["K"]]}
+    out = model(annot, alpha_mode="trans")[path]
+    n = len(rec["bbox_2d"])
+    assert out["kpts_3d_pred"].shape == (n, 33, 3)
+    # translation IS the predicted root (not a relative corner)
+    np.testing.assert_allclose(out["translation"],
+                               out["kpts_3d_pred"][:, 0], rtol=1e-6)
+    # orientation comes from the 32 relative points only
+    angles, _ = rigid.six_dof_from_cuboids(
+        np.asarray(out["kpts_3d_pred"][:, 1:], np.float32))
+    np.testing.assert_allclose(out["euler_angles"], np.asarray(angles),
+                               atol=1e-4)
+    # alpha = wrap(ry - atan2(-z, x) - pi/2) on the real root
+    t = out["translation"]
+    ry = out["euler_angles"][:, 1]
+    expect = np.mod(ry - np.arctan2(-t[:, 2], t[:, 0]) - 0.5 * np.pi
+                    + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(out["alphas"], expect, atol=1e-5)
