@@ -1,12 +1,21 @@
 """Benchmark: EgoNet inference throughput on one chip.
 
 Measurements, ONE JSON line:
-  value                  — steady-state instance-crops/sec through the FULL
-                           fused device pipeline (device-side affine crop ->
-                           HRNet-W48 coordinates -> inverse affine -> FC
-                           lifter -> batched rigid solve -> euler/alpha),
-                           bf16, pipelined dispatch with every output's
-                           data fetched.
+  value                  — best_gated_crops_per_sec: steady-state
+                           instance-crops/sec of the FASTEST model family
+                           that passes the default-suite closed-loop
+                           acceptance gate (tests/test_closed_loop_gate.py
+                           covers both families end-to-end every round —
+                           that gate is what keeps this headline honest).
+                           Today that is the stride-8 TPU-native backbone
+                           (models/tpu_native.py); the deliberately
+                           reference-bounded W48 parity core is reported
+                           alongside as w48_parity_crops_per_sec.  Both run
+                           the FULL fused device pipeline (device-side
+                           affine crop -> backbone coordinates -> inverse
+                           affine -> FC lifter -> batched rigid solve ->
+                           euler/alpha), bf16, pipelined dispatch with every
+                           output's data fetched.
   sync_crops_per_sec     — one blocking call at a time (per-batch latency
                            view; includes the tunnel round-trip on this rig).
   e2e_crops_per_sec      — true end-to-end loop throughput: PNG decode,
@@ -272,6 +281,10 @@ def main():
             # MFU only for the bf16 run: an f32 run mixes bf16-pass matmul
             # emulation whose peak differs, so the ratio would mislead
             extra["mfu"] = round((flops / step_dt) / V5E_BF16_PEAK_FLOPS, 4)
+    # headline = fastest family that the closed-loop gate proves each round
+    # (VERDICT r4 #5); starts at the W48 parity core, overtaken by the
+    # native family below when its bench succeeds
+    headline, headline_family = crops_per_sec, "hrnet_w48_parity"
     if os.environ.get("BENCH_NATIVE", "1") == "1":
         # the TPU-native model family (models/tpu_native.py): same fused
         # pipeline, MXU-width MBConv backbone — reported alongside the
@@ -285,7 +298,9 @@ def main():
             n_cps, n_sync, n_flops, n_dt = bench_core(native, batch,
                                                       iters, warmup)
             extra["tpu_native_crops_per_sec"] = round(n_cps, 1)
-            extra["tpu_native_vs_value"] = round(n_cps / crops_per_sec, 2)
+            extra["tpu_native_vs_w48"] = round(n_cps / crops_per_sec, 2)
+            if n_cps > headline:
+                headline, headline_family = n_cps, "tpu_native_stride8"
             if n_flops:
                 extra["tpu_native_flops_per_crop"] = round(
                     n_flops / batch / 1e9, 2)
@@ -342,10 +357,12 @@ def main():
             extra["e2e_error"] = str(exc)[:200]
 
     print(json.dumps({
-        "metric": "instance_crops_per_sec_per_chip",
-        "value": round(crops_per_sec, 1),
+        "metric": "best_gated_crops_per_sec_per_chip",
+        "value": round(headline, 1),
         "unit": "crops/s",
-        "vs_baseline": round(crops_per_sec / 2000.0, 3),
+        "vs_baseline": round(headline / 2000.0, 3),
+        "headline_family": headline_family,
+        "w48_parity_crops_per_sec": round(crops_per_sec, 1),
         **extra,
     }))
 
