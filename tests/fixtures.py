@@ -75,11 +75,17 @@ def random_cars(rng, n=3, z_range=(8.0, 22.0)):
     return recs
 
 
-def random_scene(rng, n_cars=2, n_peds=1, z_range=(8.0, 20.0)):
+def random_scene(rng, n_cars=2, n_peds=1, z_range=(8.0, 20.0),
+                 ped_z_range=(7.0, 12.0)):
     """Randomized mixed Car+Pedestrian scene with KITTI-consistent alpha.
     Instances occupy disjoint lateral slots so their drawn keypoints never
     overlap; z <= 20 m keeps everything 'easy' difficulty (cars > 40 px,
-    peds well above the 40 px min height gate)."""
+    peds well above the 40 px min height gate).  Pedestrians get their own
+    NEARER depth range: a 0.5-0.7 m-wide pedestrian at z = 20 m projects
+    ~16 px wide, so its 33 keypoint dots alias into each other after the
+    crop downscale and orientation becomes unrecoverable from pixels
+    (measured: median ry error ~48 deg on far peds vs ~4 deg on cars) —
+    the closed-loop fixtures must carry a RESOLVABLE geometry signal."""
     n = n_cars + n_peds
     recs = []
     slots = np.linspace(-7.0, 7.0, n + 1)
@@ -93,7 +99,7 @@ def random_scene(rng, n_cars=2, n_peds=1, z_range=(8.0, 20.0)):
             dims = (rng.uniform(1.65, 1.85), rng.uniform(0.5, 0.7),
                     rng.uniform(0.8, 1.0))
         x = rng.uniform(slots[i] + 1.0, slots[i + 1] - 1.0)
-        z = rng.uniform(*z_range)
+        z = rng.uniform(*(z_range if is_car else ped_z_range))
         y = 1.65 + rng.uniform(-0.05, 0.05)
         ry = rng.uniform(-np.pi, np.pi)
         alpha = wrap_angle(ry - np.arctan2(x, z))
@@ -211,6 +217,65 @@ def make_kitti_root(tmpdir, n_images=2, with_predictions=False,
                     _label_line(r, score=0.9 - 0.1 * j)
                     for j, r in enumerate(recs)) + "\n")
     return root, pred_dir
+
+
+# --------------------------------------------------------------------------
+# Closed-loop gate world (shared between tests/test_closed_loop_gate.py and
+# tools/make_gate_artifacts.py — the donor sidecars record zero-shot error on
+# EXACTLY this fixture, so both sides must build it identically)
+# --------------------------------------------------------------------------
+
+GATE_SEED = 7          # donors trained on seed 3 — gate scenes are FRESH
+GATE_N_IMAGES = 40     # 20 train / 20 valid
+
+
+def make_gate_fixture(tmpdir):
+    """The gate's synthetic world: 40 keypoint-rendered images, 2 cars +
+    1 pedestrian each, with detector prediction txts (GT boxes + a score
+    ladder).  Returns (root, pred_dir)."""
+    rng = np.random.RandomState(GATE_SEED)
+    scenes = [random_scene(rng, n_cars=2, n_peds=1)
+              for _ in range(GATE_N_IMAGES)]
+    return make_kitti_root(tmpdir, n_images=GATE_N_IMAGES,
+                           with_predictions=True, classes_per_image=scenes,
+                           draw_keypoints=True)
+
+
+# Fine-tune LR for the closed-loop gate: the committed donors were trained
+# to convergence THROUGH LR decay (milestones [90, 130] of 150 epochs, gamma
+# 0.5 -> final LR 2.5e-4); fine-tuning them at the config's base LR (1e-3)
+# kicks the weights out of the minimum and 6 epochs x 20 images cannot
+# recover generalization (measured on the gate fixture: donor zero-shot val
+# px 5.8 -> 29.8 after a 1e-3 fine-tune, vs 11.7 at 1e-4).  See
+# docs/testing.md for the sweep.
+GATE_FINETUNE_LR = 1e-4
+
+
+def gate_train_stanza(cfg, lr=None):
+    """The shared donor-training / gate-fine-tune recipe (single source of
+    truth for tools/make_gate_artifacts.py and tests/test_closed_loop_gate.py
+    — previously duplicated, ADVICE r4 #4).
+
+    The crop-scale distribution is CENTERED BETWEEN the two product crop
+    chains: the detector-submission path crops at 1.2 x 1.1 = 1.32x, the
+    GT-box path at a fixed 1.1x (reference inference.py:154-164), and
+    1.21 * [0.8, 1.2] = [0.97, 1.45] puts both at +-0.45 sigma.  Two
+    measured dead ends (2026-08-19): centering on the submission chain
+    (1.32, jitter 0.2 -> [1.06, 1.58]) leaves the GT path at the extreme
+    tail and its ry flips on ~25% of instances (gate car/gt AOS ratio
+    0.83); widening the jitter instead (1.32, jitter 0.3 -> [0.92, 1.72])
+    costs too much precision at fixed epochs (donor zero-shot val px
+    5.8 -> 11.0, native 13.8 -> 20.5, and every gate leg regressed).
+    Modifies ``cfg`` in place and returns it.
+    """
+    cfg["dataset"]["enlarge_factor"] = 1.21
+    cfg["heatmapModel"]["jitter_params"] = {"scaling": [0.2, 0.2],
+                                            "shift": [0.05, 0.05]}
+    cfg["optimizer"]["milestones"] = [100000]
+    if lr is not None:
+        cfg["optimizer"]["lr"] = lr
+    cfg["training_settings"].update({"batch_size": 6, "total_epochs": 1})
+    return cfg
 
 
 def shrink_hrnet(cfg, num_blocks=1, num_modules=(1, 1, 1),

@@ -62,12 +62,12 @@ def train_donor(backbone: str, root, epochs: int, seed: int = 0,
         fixtures.shrink_tpu_native(cfg, depths=(1, 1, 2), widths=(16, 32, 64),
                                    head_width=48, grid_stride=8)
     cfg["heatmapModel"]["pretrained"] = ""
-    # crop chain aligned with the submission path; see the gate's docstring
-    cfg["dataset"]["enlarge_factor"] = 1.32
-    cfg["heatmapModel"]["jitter_params"] = {"scaling": [0.2, 0.2],
-                                            "shift": [0.05, 0.05]}
+    # crop-scale distribution centered between the two product crop chains —
+    # the SAME stanza the gate's fine-tune applies (single source of truth,
+    # ADVICE r4 #4; scale rationale in fixtures.gate_train_stanza); the
+    # donor trains at the config's base LR with real decay milestones
+    fixtures.gate_train_stanza(cfg)
     cfg["optimizer"]["milestones"] = list(milestones or [100000])
-    cfg["training_settings"].update({"batch_size": 6, "total_epochs": 1})
     ds = kitti.KITTIDataset(cfg, "train")
     print(f"  [{backbone}] {len(ds.records)} train records", flush=True)
     loader = IGRBatchLoader(ds.records, cfg, train=True, max_instances=12,
@@ -94,11 +94,66 @@ def train_donor(backbone: str, root, epochs: int, seed: int = 0,
     return state
 
 
+def write_sidecar(backbone: str, donor_path: str):
+    """Measure the donor's zero-shot val px error on the gate's EXACT probe
+    fixture (fixtures.make_gate_fixture — fresh seed-7 scenes the donor
+    never saw) and record it next to the donor as gate_<name>.json.  The
+    gate asserts against this at setup (VERDICT r4 #8) so a stale donor
+    fails with a legible "regenerate donors" message instead of a
+    mysterious AOS miss."""
+    import datetime
+    import json
+    import tempfile
+
+    from egonet_tpu.config import load_config
+    from egonet_tpu.data import kitti
+    from egonet_tpu.io import checkpoint
+    from egonet_tpu.train.igrs import IGRTrainer
+    from tests import fixtures
+
+    here = os.path.join(os.path.dirname(__file__), "..", "egonet_tpu",
+                        "configs")
+    root, _ = fixtures.make_gate_fixture(tempfile.mkdtemp())
+    cfg = load_config(os.path.join(here, "KITTI_train_IGRs.yml"))
+    cfg["dataset"]["root"] = root
+    cfg["dataset"]["detect_classes"] = ["Car"]
+    if backbone == "hrnet":
+        fixtures.shrink_hrnet(cfg)
+    else:
+        fixtures.shrink_tpu_native(cfg, depths=(1, 1, 2), widths=(16, 32, 64),
+                                   head_width=48, grid_stride=8)
+    cfg["heatmapModel"]["pretrained"] = donor_path
+    cfg["heatmapModel"]["init_weights"] = True
+    cfg["heatmapModel"]["extra"]["pretrained_layers"] = ["*"]
+    fixtures.gate_train_stanza(cfg)
+    trainer = IGRTrainer(cfg, steps_per_epoch=1)
+    variables = checkpoint.warm_start_variables(cfg, trainer.model)
+    assert variables is not None, donor_path
+    state = trainer.init_state(0, variables=variables)
+    vs = kitti.KITTIDataset(cfg, "valid")
+    ev = trainer.evaluate(state, vs.records)
+    px = float(ev.metrics[0].mean)
+    side = {"val_px": round(px, 3),
+            "probe": {"fixture": "tests.fixtures.make_gate_fixture",
+                      "seed": fixtures.GATE_SEED,
+                      "n_images": fixtures.GATE_N_IMAGES,
+                      "metric": "JointDistance2DSIP val px, Car class"},
+            "date": datetime.date.today().isoformat()}
+    out = donor_path[:-len(".pth")] + ".json"
+    with open(out, "w") as f:
+        json.dump(side, f, indent=1)
+    print(f"wrote {out}: zero-shot val px {px:.2f}", flush=True)
+    return px
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--images", type=int, default=512)
     ap.add_argument("--milestones", type=int, nargs="*", default=[90, 130])
+    ap.add_argument("--sidecar-only", action="store_true",
+                    help="skip training; (re)measure the committed donors' "
+                         "zero-shot accuracy and rewrite the sidecars")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -107,6 +162,12 @@ def main(argv=None):
     from tests import fixtures
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
+    donors = (("hrnet", "gate_hrnet_car.pth"),
+              ("tpu_native", "gate_native_car.pth"))
+    if args.sidecar_only:
+        for backbone, fname in donors:
+            write_sidecar(backbone, os.path.join(DATA_DIR, fname))
+        return
     tmp = tempfile.mkdtemp()
     rng = np.random.RandomState(3)
     scenes = [fixtures.random_scene(rng, n_cars=2, n_peds=1)
@@ -118,8 +179,7 @@ def main(argv=None):
     print(f"fixture: {args.images} images in {time.time() - t0:.0f}s",
           flush=True)
     os.makedirs(DATA_DIR, exist_ok=True)
-    for backbone, fname in (("hrnet", "gate_hrnet_car.pth"),
-                            ("tpu_native", "gate_native_car.pth")):
+    for backbone, fname in donors:
         state = train_donor(backbone, root, args.epochs,
                             milestones=args.milestones)
         out = os.path.join(DATA_DIR, fname)
@@ -128,6 +188,7 @@ def main(argv=None):
                   "batch_stats": jax.device_get(state.batch_stats)})
         print(f"wrote {out} ({os.path.getsize(out) / 1e6:.2f} MB)",
               flush=True)
+        write_sidecar(backbone, out)
 
 
 if __name__ == "__main__":
