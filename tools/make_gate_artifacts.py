@@ -154,6 +154,10 @@ def main(argv=None):
     ap.add_argument("--sidecar-only", action="store_true",
                     help="skip training; (re)measure the committed donors' "
                          "zero-shot accuracy and rewrite the sidecars")
+    ap.add_argument("--families", nargs="*", default=["hrnet", "tpu_native"],
+                    help="subset of donor families to (re)generate — lets an "
+                         "interrupted run resume without retraining finished "
+                         "donors")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -162,8 +166,10 @@ def main(argv=None):
     from tests import fixtures
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
-    donors = (("hrnet", "gate_hrnet_car.pth"),
-              ("tpu_native", "gate_native_car.pth"))
+    donors = tuple(
+        (b, f) for b, f in (("hrnet", "gate_hrnet_car.pth"),
+                            ("tpu_native", "gate_native_car.pth"))
+        if b in args.families)
     if args.sidecar_only:
         for backbone, fname in donors:
             write_sidecar(backbone, os.path.join(DATA_DIR, fname))
