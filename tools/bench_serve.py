@@ -94,8 +94,22 @@ def main(argv=None):
             f"http://127.0.0.1:{server.port}/v1/pose",
             data=json.dumps(p).encode())
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=600) as resp:
-            body = json.loads(resp.read())
+        # retry transient socket drops: on this 1-core host the accept
+        # queue can overflow under a 16-thread burst while the server
+        # thread is inside a device dispatch, and the kernel resets the
+        # connection — a client-visible hiccup, not a server failure.
+        # The retried latency still counts from t0 (the client waited).
+        for attempt in range(3):
+            try:
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    body = json.loads(resp.read())
+                break
+            except (ConnectionResetError, ConnectionRefusedError) as e:
+                if attempt == 2:
+                    raise
+                print(f"# retrying after {type(e).__name__}",
+                      file=sys.stderr)
+                time.sleep(0.2 * (attempt + 1))
         assert len(body["instances"]) == len(p["boxes"])
         return time.perf_counter() - t0
 
